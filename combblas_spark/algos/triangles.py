@@ -1,0 +1,73 @@
+"""Triangle counting via masked SpGEMM (A·A ∘ A).
+
+Reference expression: ``Square<PlusTimes>`` (SpParMat.cpp:3463-3534)
+followed by ``EWiseMult(C, A, exclude=false)`` (ParFriends.h:3215-3234)
+and a Reduce.  The Spark formulation computes the mask **join-first**
+so the quadratic A·A intermediate never materializes:
+
+    E1 ⋈ E2 on (e1.dst == e2.src)   — length-2 paths (wedges)
+       ⋈ E  on (e1.src, e2.dst)     — close the wedge (the ∘ A mask)
+
+With the standard degree-orientation trick (direct each undirected edge
+from the lower-(degree, id) endpoint to the higher) every triangle is
+counted exactly once and the wedge join's fan-out is bounded by
+O(m^1.5) instead of Σdeg² — this is what kills power-law skew at
+100 TB scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..graph import DST, SRC, Graph
+
+
+def oriented_edges(g: Graph) -> DataFrame:
+    """Undirected pattern → degree-oriented DAG edges (u, v) with
+    (deg(u), u) < (deg(v), v)."""
+    undirected = (
+        g.edges.select(SRC, DST)
+        .unionByName(g.edges.select(F.col(DST).alias(SRC), F.col(SRC).alias(DST)))
+        .filter(F.col(SRC) != F.col(DST))
+        .distinct()
+    )
+    deg = undirected.groupBy(F.col(SRC).alias("v")).agg(F.count("*").alias("deg"))
+    e = (
+        undirected.join(deg.withColumnRenamed("v", SRC).withColumnRenamed("deg", "sdeg"), SRC)
+        .join(deg.withColumnRenamed("v", DST).withColumnRenamed("deg", "ddeg"), DST)
+    )
+    keep = (F.col("sdeg") < F.col("ddeg")) | (
+        (F.col("sdeg") == F.col("ddeg")) & (F.col(SRC) < F.col(DST))
+    )
+    return e.filter(keep).select(SRC, DST)
+
+
+def triangle_count(spark: SparkSession, g: Graph) -> int:
+    """Global triangle count (each triangle once)."""
+    return triangle_wedges(spark, g).count()
+
+
+def triangle_wedges(spark: SparkSession, g: Graph) -> DataFrame:
+    """DataFrame of (a, b, c) triangles with a<b<c under orientation."""
+    o = oriented_edges(g).cache()
+    e1 = o.alias("e1")
+    e2 = o.alias("e2")
+    wedges = e1.join(e2, F.col("e1.dst") == F.col("e2.src")).select(
+        F.col("e1.src").alias("a"),
+        F.col("e1.dst").alias("b"),
+        F.col("e2.dst").alias("c"),
+    )
+    mask = o.select(F.col(SRC).alias("a"), F.col(DST).alias("c"))
+    return wedges.join(mask, ["a", "c"], "left_semi")
+
+
+def per_vertex_triangles(spark: SparkSession, g: Graph) -> DataFrame:
+    """(v, triangles) — each triangle credited to all 3 corners."""
+    t = triangle_wedges(spark, g)
+    corners = (
+        t.select(F.col("a").alias("v"))
+        .unionByName(t.select(F.col("b").alias("v")))
+        .unionByName(t.select(F.col("c").alias("v")))
+    )
+    return corners.groupBy("v").agg(F.count("*").alias("triangles"))

@@ -1,0 +1,160 @@
+"""Indexing / assignment / permutation (SURVEY.md §2.5).
+
+The reference implements A(ri,ci) as permutation-matrix SpGEMM
+(SpParMat::SubsRef_SR, SpParMat.cpp:2028-2263); here sub-matrix
+extraction/assignment is two joins against id-remap tables — the remap
+table IS the permutation matrix.
+"""
+
+from __future__ import annotations
+
+from dataclasses import replace
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..graph import DST, SRC, W, Graph
+
+
+def subsref(g: Graph, rows: DataFrame, cols: DataFrame | None = None) -> Graph:
+    """A(ri, ci): keep entries with src∈rows, dst∈cols and RELABEL to
+    the positions given by the remap tables (v, new_id).
+
+    ``rows``/``cols``: (v, new_id).  cols defaults to rows (symmetric
+    extraction, e.g. dropping isolated vertices, TopDownBFS.cpp:167).
+    """
+    if cols is None:
+        cols = rows
+    r = rows.select(F.col("v").alias(SRC), F.col("new_id").alias("_nsrc"))
+    c = cols.select(F.col("v").alias(DST), F.col("new_id").alias("_ndst"))
+    out = (
+        g.edges.join(r, SRC, "inner")
+        .join(c, DST, "inner")
+        .select(
+            F.col("_nsrc").alias(SRC), F.col("_ndst").alias(DST), F.col(W)
+        )
+    )
+    return replace(g, edges=out)
+
+
+def subsref_keep(g: Graph, rows: DataFrame, cols: DataFrame | None = None) -> Graph:
+    """A(ri,ci) without relabeling (semi-join filter only)."""
+    if cols is None:
+        cols = rows
+    out = (
+        g.edges.join(rows.select(F.col("v").alias(SRC)), SRC, "left_semi")
+        .join(cols.select(F.col("v").alias(DST)), DST, "left_semi")
+        .select(SRC, DST, W)
+    )
+    return replace(g, edges=out)
+
+
+def spasgn(g: Graph, rows: DataFrame, cols: DataFrame, b: Graph) -> Graph:
+    """SpAsgn: A(ri,ci) = B (SpParMat.cpp:2434-2573) — clear the
+    (ri×ci) region with anti-joins, then union B remapped into global
+    ids.  ``rows``/``cols``: (v=global_id, new_id=B-local id)."""
+    cleared = (
+        g.edges.join(rows.select(F.col("v").alias(SRC)), SRC, "left_anti")
+        .unionByName(
+            g.edges.join(rows.select(F.col("v").alias(SRC)), SRC, "left_semi")
+            .join(cols.select(F.col("v").alias(DST)), DST, "left_anti")
+        )
+    )
+    rinv = rows.select(F.col("new_id").alias(SRC), F.col("v").alias("_gsrc"))
+    cinv = cols.select(F.col("new_id").alias(DST), F.col("v").alias("_gdst"))
+    remapped = (
+        b.edges.join(rinv, SRC, "inner")
+        .join(cinv, DST, "inner")
+        .select(F.col("_gsrc").alias(SRC), F.col("_gdst").alias(DST), F.col(W))
+    )
+    return replace(g, edges=cleared.unionByName(remapped))
+
+
+def vec_subsref(vec: DataFrame, indices: DataFrame, val_col: str = "val") -> DataFrame:
+    """v2 = v(ri): gather — the Shortcut `parent(parent)` join of CC
+    (FullyDistVec.cpp:933-1070; CC.h:1324).  ``indices``: (v, idx) where
+    idx points into ``vec``; result (v, val=vec[idx])."""
+    tgt = vec.select(F.col("v").alias("idx"), F.col(val_col))
+    return indices.join(tgt, "idx", "inner").select("v", val_col)
+
+
+def vec_assign(
+    vec: DataFrame, updates: DataFrame, val_col: str = "val", combine: str = "last"
+) -> DataFrame:
+    """Assign(ind, val): scatter updates into a vector (CC.h:746-1028).
+    Duplicate targets combine by min/max ('min'/'max') or overwrite
+    ('last' → min for determinism).  Spark's partial aggregation IS the
+    reference's adaptive ReduceAssign combine."""
+    agg = {"min": F.min, "max": F.max, "last": F.min}[combine](val_col)
+    u = updates.groupBy("v").agg(agg.alias("_nv"))
+    return (
+        vec.join(u, "v", "left")
+        .select("v", F.coalesce(F.col("_nv"), F.col(val_col)).alias(val_col))
+    )
+
+
+def vec_invert(vec: DataFrame, val_col: str = "val", dup: str = "min") -> DataFrame:
+    """Invert: (v, val) → (v=val, val=v) — build an inverse permutation /
+    index lookup (FullyDistSpVec.cpp:1800-2390).  Duplicate values keep
+    min (or max) original index."""
+    agg = F.min if dup == "min" else F.max
+    return (
+        vec.groupBy(F.col(val_col).cast("long").alias("v"))
+        .agg(agg("v").alias(val_col))
+    )
+
+
+def iota(spark: SparkSession, n: int, first: int = 0) -> DataFrame:
+    """v[i] = first + i (FullyDistVec.h:159)."""
+    return spark.range(n).select(
+        F.col("id").alias("v"), (F.col("id") + first).alias("val")
+    )
+
+
+def nziota(vec: DataFrame, first: int = 0) -> DataFrame:
+    """Rank-numbering of nonzeros in index order (FullyDistSpVec.h:185):
+    val = first + rank_of_v.  Window over global order — used for root
+    renumbering in LabelCC (CC.h:1393)."""
+    win = Window.orderBy("v")
+    return vec.select(
+        "v", (F.row_number().over(win) - 1 + first).alias("val")
+    )
+
+
+def rand_perm(spark: SparkSession, n: int, seed: int = 42) -> DataFrame:
+    """Distributed random permutation (FullyDistVec::RandPerm,
+    FullyDistVec.cpp:783-880): (v, new_id)."""
+    win = Window.orderBy(F.rand(seed), F.col("v"))
+    return (
+        spark.range(n)
+        .select(F.col("id").alias("v"))
+        .select("v", (F.row_number().over(win) - 1).alias("new_id"))
+    )
+
+
+def permute_symmetric(g: Graph, perm: DataFrame) -> Graph:
+    """A(p,p) random relabel for load balance (MCL.cpp:496-511,
+    TopDownBFS.cpp:342-345)."""
+    return subsref(g, perm)
+
+
+def vec_concatenate(spark: SparkSession, vecs: list[DataFrame], val_col: str = "val") -> DataFrame:
+    """Stack vectors with offset ids (ParFriends.h:75-174)."""
+    out = None
+    offset = 0
+    for v in vecs:
+        shifted = v.select((F.col("v") + offset).alias("v"), F.col(val_col))
+        out = shifted if out is None else out.unionByName(shifted)
+        offset += v.count()
+    return out
+
+
+def set_element(vec: DataFrame, v: int, val, spark: SparkSession, val_col: str = "val") -> DataFrame:
+    """Point update (SetElement) via union of a literal row."""
+    lit = spark.createDataFrame([(v, val)], schema=vec.select("v", val_col).schema)
+    return vec.filter(F.col("v") != v).unionByName(lit)
+
+
+def get_element(vec: DataFrame, v: int, val_col: str = "val"):
+    rows = vec.filter(F.col("v") == v).select(val_col).collect()
+    return rows[0][0] if rows else None

@@ -1,0 +1,156 @@
+"""Reductions (SURVEY.md §2.4): per-dimension reduce, masked reduce,
+k-select, MCL prune/select/recover, metrics probes.
+
+Reference: SpParMat::Reduce (SpParMat.cpp:888-1119), MaskedReduce
+(:1849-2027), Kselect (:309-1412), MCLPruneRecoverySelect
+(ParFriends.h:200-368), Bandwidth/Profile (SpParMat.h:139-140),
+LoadImbalance (SpParMat.h:99), HistCC (CC.h:1576-1617).
+"""
+
+from __future__ import annotations
+
+from dataclasses import replace
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..graph import DST, SRC, W, Graph
+
+
+def reduce_dim(g: Graph, dim: str = "src", agg: Column | None = None) -> DataFrame:
+    """Reduce(Row|Column, binop): (v, val).  dim='src' reduces each row
+    (out-direction), dim='dst' each column (in-direction).  ``agg``
+    defaults to sum of weights."""
+    key = SRC if dim == "src" else DST
+    if agg is None:
+        agg = F.sum(W)
+    return g.edges.groupBy(F.col(key).alias("v")).agg(agg.alias("val"))
+
+
+def masked_reduce(
+    g: Graph, mask: DataFrame, dim: str = "dst", agg: Column | None = None,
+    exclude: bool = False,
+) -> DataFrame:
+    """MaskedReduce: reduce restricted to (or excluding) rows whose id
+    is present in ``mask`` (v)."""
+    other = DST if dim == "src" else SRC
+    how = "left_anti" if exclude else "left_semi"
+    masked = g.edges.join(mask.select(F.col("v").alias(other)), other, how)
+    return reduce_dim(replace(g, edges=masked), dim=dim, agg=agg)
+
+
+def kselect(g: Graph, k: int, dim: str = "dst") -> DataFrame:
+    """Per-column (or row) k-th largest value: (v, kth).
+
+    Kselect (SpParMat.cpp:309-1412) — window top-k, the MCL pruning
+    primitive.  Ties broken deterministically by the other index.
+    """
+    key, other = (DST, SRC) if dim == "dst" else (SRC, DST)
+    win = Window.partitionBy(key).orderBy(F.col(W).desc(), F.col(other).asc())
+    return (
+        g.edges.withColumn("_rn", F.row_number().over(win))
+        .filter(F.col("_rn") == k)
+        .select(F.col(key).alias("v"), F.col(W).alias("kth"))
+    )
+
+
+def topk_per_column(g: Graph, k: int, dim: str = "dst") -> Graph:
+    """Keep only each column's top-k entries (MCL select step)."""
+    key, other = (DST, SRC) if dim == "dst" else (SRC, DST)
+    win = Window.partitionBy(key).orderBy(F.col(W).desc(), F.col(other).asc())
+    kept = (
+        g.edges.withColumn("_rn", F.row_number().over(win))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+    return replace(g, edges=kept)
+
+
+def mcl_prune_recovery_select(
+    g: Graph,
+    hard_threshold: float,
+    select_k: int,
+    recover_num: int,
+    recover_pct: float,
+) -> Graph:
+    """MCLPruneRecoverySelect (ParFriends.h:200-368): hard-threshold
+    prune + per-column top-k select, then 'recovery': columns left with
+    fewer than ``recover_num`` entries get entries back down to their
+    ``recover_pct`` quantile."""
+    win = Window.partitionBy(DST).orderBy(F.col(W).desc(), F.col(SRC).asc())
+    ranked = g.edges.withColumn("_rn", F.row_number().over(win))
+    kept = ranked.filter((F.col(W) >= hard_threshold) & (F.col("_rn") <= select_k))
+    # columns that fell below recover_num after pruning
+    weak = (
+        kept.groupBy(DST).agg(F.count("*").alias("_n"))
+        .filter(F.col("_n") < recover_num)
+        .select(DST)
+    )
+    # per-column recover_pct quantile of the ORIGINAL values
+    thresh = (
+        g.edges.join(weak, DST, "left_semi")
+        .groupBy(DST)
+        .agg(F.expr(f"percentile(w, {1.0 - recover_pct})").alias("_q"))
+    )
+    recovered = (
+        ranked.join(thresh, DST, "inner")
+        .filter((F.col(W) >= F.col("_q")) & (F.col("_rn") <= recover_num))
+        .select(SRC, DST, W)
+    )
+    out = (
+        kept.select(SRC, DST, W)
+        .join(weak, DST, "left_anti")
+        .unionByName(recovered)
+    )
+    return replace(g, edges=out)
+
+
+def vec_reduce(vec: DataFrame, agg: Column | None = None, val_col: str = "val"):
+    """Global fold of a vector → scalar (FullyDistVec.h:266-270)."""
+    if agg is None:
+        agg = F.sum(val_col)
+    return vec.agg(agg.alias("_r")).collect()[0]["_r"]
+
+
+def min_element(vec: DataFrame, val_col: str = "val"):
+    """Global argmin (FullyDistVec.h:263): returns Row(v, val)."""
+    return vec.orderBy(F.col(val_col).asc(), F.col("v").asc()).limit(1).collect()[0]
+
+
+def vec_uniq(vec: DataFrame, val_col: str = "val") -> DataFrame:
+    """Uniq: deduplicate values keeping min index
+    (FullyDistSpVec.h:196-202)."""
+    return (
+        vec.groupBy(val_col)
+        .agg(F.min("v").alias("v"))
+        .select("v", val_col)
+    )
+
+
+def bandwidth(g: Graph) -> int:
+    """Matrix bandwidth: max |i - j| over nonzeros (SpParMat.h:139)."""
+    row = g.edges.agg(F.max(F.abs(F.col(SRC) - F.col(DST))).alias("b")).collect()[0]
+    return int(row["b"] or 0)
+
+
+def load_imbalance(g: Graph) -> float:
+    """max/avg partition nnz ratio (SpParMat.h:99) — a metrics probe for
+    the partitioning strategy."""
+    counts = (
+        g.edges.groupBy(F.spark_partition_id().alias("p"))
+        .count()
+        .agg(F.max("count").alias("mx"), F.avg("count").alias("av"))
+        .collect()[0]
+    )
+    return float(counts["mx"]) / float(counts["av"]) if counts["av"] else 1.0
+
+
+def histogram(labels: DataFrame, key: str = "comp") -> DataFrame:
+    """Value-count histogram (HistCC): (size, n)."""
+    return (
+        labels.groupBy(key)
+        .count()
+        .groupBy(F.col("count").alias("size"))
+        .agg(F.count("*").alias("n"))
+        .orderBy("size")
+    )

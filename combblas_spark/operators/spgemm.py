@@ -1,0 +1,122 @@
+"""Sparse matrix-matrix multiply over a semiring (SpGEMM, SURVEY.md §2.2).
+
+C = A ⊗ B:  A.join(B, A.dst == B.src).groupBy(A.src, B.dst)
+              .agg(SR.add(SR.mult(A.w, B.w)))
+
+The reference's SUMMA broadcast stages (Mult_AnXBn_DoubleBuff,
+ParFriends.h:1253-1463) collapse into one Spark shuffle join: the hash
+exchange on the contraction key is the communication pattern, AQE picks
+broadcast-hash when one side is small, and map-side partial aggregation
+replaces MultiwayMerge (MultiwayMerge.h:412-692).
+
+``spgemm_phased`` mirrors MemEfficientSpGEMM (ParFriends.h:464-790):
+B is processed in column batches with per-phase prune/top-k select so
+the intermediate never exceeds a memory budget — at 100 TB this is the
+checkpoint-cadence knob, not a correctness requirement (Spark spills).
+"""
+
+from __future__ import annotations
+
+from dataclasses import replace
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.semiring import PLUS_TIMES, Semiring
+from ..graph import DST, SRC, W, Graph
+
+
+def spgemm(a: Graph, b: Graph, semiring: Semiring = PLUS_TIMES) -> Graph:
+    """C = A ⊗ B over the semiring."""
+    ae = a.edges.select(
+        F.col(SRC).alias("i"), F.col(DST).alias("k"), F.col(W).alias("aw")
+    )
+    be = b.edges.select(
+        F.col(SRC).alias("k"), F.col(DST).alias("j"), F.col(W).alias("bw")
+    )
+    contrib = semiring.contribution(F.col("aw"), F.col("bw"))
+    ce = (
+        ae.join(be, "k", "inner")
+        .groupBy(F.col("i").alias(SRC), F.col("j").alias(DST))
+        .agg(semiring.aggregate(contrib).alias(W))
+    )
+    return replace(a, edges=ce)
+
+
+def square(a: Graph, semiring: Semiring = PLUS_TIMES) -> Graph:
+    """A = A² (SpParMat::Square, SpParMat.cpp:3463-3534)."""
+    return spgemm(a, a, semiring)
+
+
+def masked_spgemm(
+    a: Graph, b: Graph, mask: Graph, semiring: Semiring = PLUS_TIMES,
+    exclude: bool = False,
+) -> Graph:
+    """(A ⊗ B) ∘ M — the triangle-counting pattern A·A ∘ A.
+
+    Computed MASK-FIRST: the mask pattern semi-joins the multiply's
+    output keys before aggregation, so the dense intermediate of A·B is
+    never materialized (SURVEY.md §2.2 'join-first' note).
+    """
+    ae = a.edges.select(
+        F.col(SRC).alias("i"), F.col(DST).alias("k"), F.col(W).alias("aw")
+    )
+    be = b.edges.select(
+        F.col(SRC).alias("k"), F.col(DST).alias("j"), F.col(W).alias("bw")
+    )
+    pairs = ae.join(be, "k", "inner")
+    mk = mask.edges.select(F.col(SRC).alias("i"), F.col(DST).alias("j"))
+    how = "left_anti" if exclude else "left_semi"
+    pairs = pairs.join(mk, ["i", "j"], how)
+    contrib = semiring.contribution(F.col("aw"), F.col("bw"))
+    ce = (
+        pairs.groupBy(F.col("i").alias(SRC), F.col("j").alias(DST))
+        .agg(semiring.aggregate(contrib).alias(W))
+    )
+    return replace(a, edges=ce)
+
+
+def spgemm_phased(
+    a: Graph,
+    b: Graph,
+    semiring: Semiring = PLUS_TIMES,
+    phases: int = 4,
+    prune_below: float | None = None,
+    select_k: int | None = None,
+) -> Graph:
+    """MemEfficientSpGEMM: B in ``phases`` column buckets
+    (filter(pmod(dst, phases)==i)), per-phase prune/select, union.
+
+    Per-phase top-k is safe because every output column lives entirely
+    within one phase (bucketing is on B.dst = C.dst).
+    """
+    from .reduce import topk_per_column
+
+    outs = []
+    for p in range(phases):
+        bp = replace(b, edges=b.edges.filter(F.pmod(F.col(DST), F.lit(phases)) == p))
+        cp = spgemm(a, bp, semiring)
+        if prune_below is not None:
+            cp = replace(cp, edges=cp.edges.filter(F.col(W) >= prune_below))
+        if select_k is not None:
+            cp = topk_per_column(cp, select_k)
+        outs.append(cp.edges)
+    merged = outs[0]
+    for e in outs[1:]:
+        merged = merged.unionByName(e)
+    return replace(a, edges=merged)
+
+
+def estimate_flops(a: Graph, b: Graph) -> int:
+    """EstimateFLOP (ParFriends.h:370-463): Σ_k nnz_A(·,k)·nnz_B(k,·)
+    via a join of per-key histograms — the symbolic pass that sizes
+    phases.  AQE's runtime stats do this implicitly; kept as an explicit
+    estimator for phase planning."""
+    ah = a.edges.groupBy(F.col(DST).alias("k")).agg(F.count("*").alias("an"))
+    bh = b.edges.groupBy(F.col(SRC).alias("k")).agg(F.count("*").alias("bn"))
+    row = (
+        ah.join(bh, "k")
+        .agg(F.sum(F.col("an") * F.col("bn")).alias("f"))
+        .collect()[0]
+    )
+    return int(row["f"] or 0)

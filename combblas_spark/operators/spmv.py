@@ -1,0 +1,107 @@
+"""Semiring matrix-vector and matrix-matrix products (§2.2).
+
+``y = Aᵀ ⊗ x`` over a semiring is the engine's core join:
+
+    edges(src,dst,w) ⋈ x(v,val) ON src==v
+      → contribution = SR.mult(w, val)           (per edge)
+      → groupBy(dst).agg(SR.add(contribution))   (per destination)
+
+The reference implements this as SUMMA/allgather-alltoall pipelines
+(SpMV dense: ParFriends.h:2966-3045; SpMSpV 4-phase:
+ParFriends.h:2429-2922).  In Spark the physical strategy is chosen by
+size: a small frontier is broadcast (the SpMSpV path — reference
+switches sparse/dense at ``nnz*50 < n``, CC.h:1256); a dense vector
+rides a co-partitioned shuffle join.  Map-side partial aggregation is
+Spark's built-in equivalent of MergeContributions
+(ParFriends.h:2598-2670).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.semiring import Semiring, PLUS_TIMES
+from ..graph import SRC, DST, W, Graph
+
+#: frontier sizes below this are broadcast (SpMSpV path).  On a real
+#: cluster AQE's autoBroadcastJoinThreshold does this from runtime
+#: stats; the explicit knob mirrors the reference's cutoff.
+BROADCAST_NNZ_CUTOFF = 2_000_000
+
+
+def spmv(
+    g: Graph,
+    vec: DataFrame,
+    semiring: Semiring = PLUS_TIMES,
+    val_col: str = "val",
+    broadcast_vector: bool | None = None,
+    vec_nnz: int | None = None,
+) -> DataFrame:
+    """y(v, val) = Aᵀ ⊗ x : propagate values from src along edges to dst.
+
+    ``vec`` is (v, val).  Result contains only destinations reached by at
+    least one edge from a vector entry (sparse output, like SpMSpV).
+
+    broadcast_vector: force the SpMSpV broadcast path; default auto
+    (broadcast when ``vec_nnz`` is known-small).
+    """
+    if broadcast_vector is None:
+        broadcast_vector = vec_nnz is not None and vec_nnz < BROADCAST_NNZ_CUTOFF
+    x = F.broadcast(vec) if broadcast_vector else vec
+    contrib = semiring.contribution(F.col(W), F.col(val_col))
+    return (
+        g.edges.join(x, g.edges[SRC] == x["v"], "inner")
+        .groupBy(F.col(DST).alias("v"))
+        .agg(semiring.aggregate(contrib).alias(val_col))
+    )
+
+
+def spmv_salted(
+    g: Graph,
+    vec: DataFrame,
+    semiring: Semiring = PLUS_TIMES,
+    val_col: str = "val",
+    n_salts: int = 8,
+) -> DataFrame:
+    """Skew-hardened SpMV: two-level aggregation with salted keys.
+
+    Power-law hubs make groupBy(dst) skewed.  Salting splits each hot
+    destination into ``n_salts`` shards aggregated independently, then
+    re-aggregates — the reference's adaptive-reduce ReduceAssign
+    (CC.h:579-737) in declarative form.  Requires ``semiring.add`` to be
+    associative (all shipped ones are).
+    """
+    contrib = semiring.contribution(F.col(W), F.col(val_col))
+    salted = (
+        g.edges.join(vec, g.edges[SRC] == vec["v"], "inner")
+        .withColumn("_salt", F.pmod(F.hash(SRC), F.lit(n_salts)))
+        .groupBy(F.col(DST).alias("v"), F.col("_salt"))
+        .agg(semiring.aggregate(contrib).alias(val_col))
+    )
+    return salted.groupBy("v").agg(
+        semiring.aggregate(F.col(val_col)).alias(val_col)
+    )
+
+
+def dim_apply(
+    g: Graph,
+    vec: DataFrame,
+    dim: str = "src",
+    op=None,
+    val_col: str = "scale",
+) -> Graph:
+    """Scale every edge by a per-row (dim='src') or per-column
+    (dim='dst') vector element — DimApply (SpParMat.cpp:801-887), the
+    stochastic normalization of MCL (MCL.cpp:391-393) and the
+    1/outdegree scaling of PageRank."""
+    from dataclasses import replace
+
+    if op is None:
+        op = lambda w, s: w * s
+    key = SRC if dim == "src" else DST
+    scaled = (
+        g.edges.join(vec, g.edges[key] == vec["v"], "inner")
+        .select(SRC, DST, op(F.col(W), F.col(val_col)).alias(W))
+    )
+    return replace(g, edges=scaled)

@@ -1,0 +1,81 @@
+"""PageRank golden tests: Spark vs dense numpy power iteration.
+
+Mirrors the reference's golden-output comparison strategy
+(ReleaseTests, SURVEY.md §5) with allclose(atol=1e-6) per BASELINE.md.
+"""
+
+import numpy as np
+import pytest
+
+from combblas_spark.algos.pagerank import pagerank, pagerank_fixed
+from combblas_spark.sources import fixtures as FX
+
+
+def numpy_pagerank(triples, n, alpha=0.85, tol=1e-6, max_iter=200, n_iter=None):
+    """Dense reference implementation matching
+    CC_ipdps18/HPCGraph/0.1/pagerank.cpp semantics (dangling mass
+    redistributed uniformly each iteration)."""
+    A = np.zeros((n, n))
+    for s, d, _ in triples:
+        A[s, d] += 1.0  # unweighted adjacency: PageRank follows link structure
+    outdeg = A.sum(axis=1)
+    pr = np.full(n, 1.0 / n)
+    it = 0
+    while True:
+        contrib = np.where(outdeg > 0, pr / np.maximum(outdeg, 1), 0.0)
+        dangling = pr[outdeg == 0].sum()
+        new = (1 - alpha) / n + alpha * (A.T @ contrib + dangling / n)
+        delta = np.abs(new - pr).max()
+        pr = new
+        it += 1
+        if n_iter is not None:
+            if it >= n_iter:
+                return pr
+        elif delta < tol or it >= max_iter:
+            return pr
+
+
+def ranks_to_array(ranks_df, n):
+    rows = {r["v"]: r["rank"] for r in ranks_df.collect()}
+    return np.array([rows[i] for i in range(n)])
+
+
+def to_pattern(triples):
+    """Collapse duplicate (s,d) to a single unweighted edge (matches the
+    numpy adjacency which sums, then PageRank treats A as weights=count —
+    use count-weighted? No: engine uses out-degree = edge count)."""
+    return sorted({(s, d) for s, d, _ in triples})
+
+
+@pytest.mark.parametrize(
+    "name,triples,n",
+    [
+        ("seven", FX.SEVEN, 7),
+        ("nine", FX.NINE, 9),
+        ("chain64", FX.chain(64), 64),
+        ("star100", FX.star_hub(100), 101),
+    ],
+)
+def test_pagerank_matches_numpy(spark, name, triples, n):
+    g = FX.graph(spark, triples)
+    res = pagerank(spark, g, tol=1e-9, max_iter=300)
+    got = ranks_to_array(res.ranks, n)
+    want = numpy_pagerank(triples, n, tol=1e-9, max_iter=300)
+    assert np.allclose(got, want, atol=1e-6), f"{name}: {got} vs {want}"
+    assert abs(got.sum() - 1.0) < 1e-6  # ranks are a distribution
+
+
+def test_pagerank_fixed_iterations(spark):
+    g = FX.graph(spark, FX.SEVEN)
+    ranks = pagerank_fixed(spark, g, n_iter=5)
+    got = ranks_to_array(ranks, 7)
+    want = numpy_pagerank(FX.SEVEN, 7, n_iter=5)
+    assert np.allclose(got, want, atol=1e-9)
+
+
+def test_pagerank_converges_and_reports(spark):
+    g = FX.graph(spark, FX.SEVEN)
+    res = pagerank(spark, g, tol=1e-6)
+    assert res.delta < 1e-6
+    assert res.iterations > 1
+    assert res.edges_processed == res.iterations * 12

@@ -1,0 +1,104 @@
+"""Triangles vs brute force, label propagation determinism, BFS parent
+validity (structural invariant per TopDownBFS.cpp:448-458)."""
+
+from itertools import combinations
+
+import pytest
+
+from combblas_spark.algos.bfs import bfs
+from combblas_spark.algos.labelprop import label_propagation
+from combblas_spark.algos.triangles import per_vertex_triangles, triangle_count
+from combblas_spark.sources import fixtures as FX
+
+
+def brute_triangles(triples):
+    adj = {}
+    for s, d, _ in triples:
+        if s == d:
+            continue
+        adj.setdefault(s, set()).add(d)
+        adj.setdefault(d, set()).add(s)
+    count = 0
+    for a, b, c in combinations(sorted(adj), 3):
+        if b in adj[a] and c in adj[a] and c in adj[b]:
+            count += 1
+    return count
+
+
+TRI_CASES = [
+    ("seven", FX.SEVEN),
+    ("nine", FX.NINE),
+    ("two_cliques", FX.TWO_CLIQUES),
+    ("star", FX.star_hub(50)),
+]
+
+
+@pytest.mark.parametrize("name,triples", TRI_CASES)
+def test_triangle_count(spark, name, triples):
+    g = FX.graph(spark, triples)
+    assert triangle_count(spark, g) == brute_triangles(triples), name
+
+
+def test_per_vertex_triangles_k5(spark):
+    g = FX.graph(spark, FX.TWO_CLIQUES)
+    pv = {r["v"]: r["triangles"] for r in per_vertex_triangles(spark, g).collect()}
+    # every K5 vertex is in C(4,2)=6 triangles; isolate absent
+    assert pv == {v: 6 for v in range(10)}
+
+
+def test_label_propagation_cliques(spark):
+    g = FX.graph(spark, FX.TWO_CLIQUES)
+    labels = {r["v"]: r["label"] for r in label_propagation(spark, g, n_iter=5).collect()}
+    assert all(labels[v] == 0 for v in range(5))
+    assert all(labels[v] == 5 for v in range(5, 10))
+
+
+def test_label_propagation_star_tiebreak(spark):
+    """Hub sees every leaf label once → argmax tie broken to min label."""
+    g = FX.graph(spark, FX.star_hub(100))
+    labels = {r["v"]: r["label"] for r in label_propagation(spark, g, n_iter=1).collect()}
+    assert labels[0] == 1  # min leaf label wins the tie
+
+
+def python_bfs(triples, source):
+    adj = {}
+    for s, d, _ in triples:
+        adj.setdefault(s, set()).add(d)
+        adj.setdefault(d, set()).add(s)
+    level = {source: 0}
+    frontier = [source]
+    lv = 0
+    while frontier:
+        lv += 1
+        nxt = []
+        for u in frontier:
+            for w in adj.get(u, ()):
+                if w not in level:
+                    level[w] = lv
+                    nxt.append(w)
+        frontier = nxt
+    return level
+
+
+@pytest.mark.parametrize("name,triples,src", [
+    ("seven", FX.SEVEN, 0),
+    ("nine", FX.NINE, 0),
+    ("chain", FX.chain(64), 0),
+])
+def test_bfs_levels_and_parent_validity(spark, name, triples, src):
+    g = FX.graph(spark, triples)
+    rows = bfs(spark, g, src).collect()
+    got_levels = {r["v"]: r["level"] for r in rows}
+    want_levels = python_bfs(triples, src)
+    assert got_levels == want_levels, name
+    # parent validity: parent's level = level - 1; parent is a neighbor
+    adj = set()
+    for s, d, _ in triples:
+        adj.add((s, d))
+        adj.add((d, s))
+    for r in rows:
+        if r["v"] == src:
+            assert r["parent"] == src
+        else:
+            assert got_levels[r["parent"]] == r["level"] - 1
+            assert (r["parent"], r["v"]) in adj
