@@ -23,6 +23,14 @@ PR_ITERS = 5
 CC_ROUNDS = 8
 LP_ITERS = 2
 TOPK = 2
+BFS_SRC = 0
+BFS_LEVELS = 4
+SSSP_ROUNDS = 4
+SPGEMM_MAX_SRC = 20
+JACCARD_N = 3
+JACCARD_T = 0.5
+ANN_K = 5
+ANN_NQ = 10
 
 # ---------------------------------------------------------------------------
 # shared SQL building blocks (DuckDB oracle side)
@@ -142,6 +150,184 @@ l{k} AS MATERIALIZED (
     parts.append(f"\nSELECT v, label FROM l{n_iter}")
     return "\n".join(parts)
 
+
+#: weighted symmetrization keeping max weight (Graph.symmetrize semantics)
+WSYM_CTE = """
+wsedges AS MATERIALIZED (
+  SELECT src, dst, max(w) AS w FROM (
+    SELECT src, dst, w FROM edges
+    UNION ALL
+    SELECT dst AS src, src AS dst, w FROM edges
+  ) GROUP BY src, dst
+)"""
+
+
+def _bfs_sql(levels: int, src: int) -> str:
+    parts = [
+        "WITH " + EDGES_CTE.strip() + ",",
+        SYM_EDGES_CTE.strip() + ",",
+        f"""p0 AS MATERIALIZED (SELECT {src} AS v, {src} AS parent, 0 AS level),
+f0 AS MATERIALIZED (SELECT v FROM p0)""",
+    ]
+    for k in range(1, levels + 1):
+        parts.append(
+            f""",
+c{k} AS MATERIALIZED (
+  SELECT e.dst AS v, max(e.src) AS parent
+  FROM sedges e JOIN f{k-1} f ON e.src = f.v
+  GROUP BY e.dst
+),
+n{k} AS MATERIALIZED (
+  SELECT c.v, c.parent, {k} AS level
+  FROM c{k} c LEFT JOIN p{k-1} p ON c.v = p.v WHERE p.v IS NULL
+),
+p{k} AS MATERIALIZED (SELECT * FROM p{k-1} UNION ALL SELECT * FROM n{k}),
+f{k} AS MATERIALIZED (SELECT v FROM n{k})"""
+        )
+    parts.append(f"\nSELECT v, parent, level FROM p{levels}")
+    return "\n".join(parts)
+
+
+def _sssp_sql(rounds: int, src: int) -> str:
+    parts = [
+        "WITH " + EDGES_CTE.strip() + ",",
+        f"d0 AS MATERIALIZED (SELECT CAST({src} AS BIGINT) AS v, 0.0 AS dist)",
+    ]
+    for k in range(1, rounds + 1):
+        parts.append(
+            f""",
+d{k} AS MATERIALIZED (
+  SELECT v, min(dist) AS dist FROM (
+    SELECT v, dist FROM d{k-1}
+    UNION ALL
+    SELECT e.dst AS v, d.dist + e.w AS dist
+    FROM edges e JOIN d{k-1} d ON e.src = d.v
+  ) GROUP BY v
+)"""
+        )
+    parts.append(f"\nSELECT v, round(dist, 6) AS dist FROM d{rounds}")
+    return "\n".join(parts)
+
+
+SPGEMM_SQL = (
+    "WITH " + EDGES_CTE.strip() + ",\n" + WSYM_CTE.strip()
+    + f"""
+SELECT a.src AS src, b.dst AS dst, round(sum(a.w * b.w), 6) AS w
+FROM wsedges a JOIN wsedges b ON a.dst = b.src
+WHERE a.src <= {SPGEMM_MAX_SRC}
+GROUP BY a.src, b.dst
+"""
+)
+
+MASKED_COLSUMS_SQL = (
+    "WITH " + EDGES_CTE.strip()
+    + """
+SELECT dst AS v, round(sum(w), 6) AS colsum
+FROM edges WHERE (dst - 1000000) % 2 = 1 GROUP BY dst
+"""
+)
+
+NGRAM_JACCARD_SQL = f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+grams AS MATERIALIZED (
+  SELECT DISTINCT doc_id, list_aggregate(t[i:i+{JACCARD_N-1}], 'string_agg', ' ') AS gram
+  FROM toks, UNNEST(range(1, len(t) - {JACCARD_N - 2})) AS u(i)
+),
+sz AS MATERIALIZED (SELECT doc_id, count(*) AS sz FROM grams GROUP BY doc_id),
+inter AS MATERIALIZED (
+  SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS inter
+  FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT a, b, round(inter.inter / (sa.sz + sb.sz - inter.inter), 6) AS jaccard
+FROM inter JOIN sz sa ON sa.doc_id = inter.a JOIN sz sb ON sb.doc_id = inter.b
+WHERE inter.inter / (sa.sz + sb.sz - inter.inter) >= {JACCARD_T}
+"""
+
+
+def _sql_list(words: list[str]) -> str:
+    return "[" + ", ".join(f"'{w}'" for w in words) + "]"
+
+
+def _lang_id_sql() -> str:
+    from combblas_spark.pipeline.text import STOPWORDS
+
+    scores = ",\n  ".join(
+        f"len(list_intersect(u, {_sql_list(ws)})) AS score_{lang}"
+        for lang, ws in STOPWORDS.items()
+    )
+    langs = list(STOPWORDS)
+    g = "greatest(" + ", ".join(f"score_{l}" for l in langs) + ")"
+    case = " ".join(
+        f"WHEN score_{l} = {g} THEN '{l}'" for l in langs
+    )
+    return f"""
+WITH t AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS u FROM documents),
+s AS (SELECT doc_id,
+  {scores}
+FROM t)
+SELECT doc_id, score_en, score_de, score_fr,
+  CASE WHEN {g} = 0 THEN 'und' {case} END AS lang_pred
+FROM s
+"""
+
+
+def _quality_sql() -> str:
+    from combblas_spark.pipeline.text import STOPWORDS
+
+    sw = _sql_list(STOPWORDS["en"])
+    return f"""
+WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents)
+SELECT doc_id,
+  round(len(list_distinct(toks)) / len(toks), 6) AS uniq_ratio,
+  round(len(list_filter(toks, x -> list_contains({sw}, x))) / len(toks), 6) AS stopword_ratio,
+  round(
+    (CASE WHEN length(text) BETWEEN 50 AND 10000 THEN 0.25 ELSE 0.0 END)
+    + least(len(list_filter(toks, x -> list_contains({sw}, x))) / len(toks) * 2.5, 0.25)
+    + least(len(list_distinct(toks)) / len(toks), 0.5), 6) AS quality
+FROM t
+"""
+
+
+FINGERPRINT_SQL = """
+SELECT doc_id,
+       md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+                               ' +', ' ', 'g'))) AS fp
+FROM documents
+"""
+
+TOKEN_STATS_SQL = """
+WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents)
+SELECT doc_id, length(text) AS chars, len(toks) AS tokens,
+       len(list_distinct(toks)) AS uniq_tokens,
+       round((length(text) - len(toks) + 1) / len(toks), 6) AS avg_token_len
+FROM t
+"""
+
+COSINE_TOPK_SQL = f"""
+WITH ex AS MATERIALIZED (
+  SELECT vec_id, unnest(embedding) AS x, generate_subscripts(embedding, 1) AS i
+  FROM embeddings
+),
+norms AS MATERIALIZED (
+  SELECT vec_id, sqrt(sum(CAST(x AS DOUBLE) * x)) AS n FROM ex GROUP BY vec_id
+),
+dots AS MATERIALIZED (
+  SELECT a.vec_id AS q, b.vec_id AS neighbor, sum(CAST(a.x AS DOUBLE) * b.x) AS d
+  FROM ex a JOIN ex b ON a.i = b.i AND b.vec_id <> a.vec_id
+  WHERE a.vec_id < {ANN_NQ}
+  GROUP BY a.vec_id, b.vec_id
+),
+scored AS (
+  SELECT q, neighbor, d / (na.n * nb.n) AS cos
+  FROM dots JOIN norms na ON na.vec_id = q JOIN norms nb ON nb.vec_id = neighbor
+)
+SELECT q, neighbor, round(cos, 6) AS cos FROM (
+  SELECT q, neighbor, cos,
+         row_number() OVER (PARTITION BY q ORDER BY cos DESC, neighbor ASC) AS rn
+  FROM scored
+) WHERE rn <= {ANN_K}
+"""
 
 TRIANGLES_SQL = """
 WITH und AS MATERIALIZED (
@@ -287,6 +473,125 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from combblas_spark.algos.bfs import bfs
+
+    return bfs(spark, _graph(spark, sf_dir), source=BFS_SRC, max_iter=BFS_LEVELS)
+
+
+def q_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from combblas_spark.algos.sssp import sssp_rounds
+
+    d = sssp_rounds(spark, _graph(spark, sf_dir), source=BFS_SRC, n_rounds=SSSP_ROUNDS)
+    return d.select("v", F.round("dist", 6).alias("dist"))
+
+
+def q_spgemm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dataclasses import replace
+
+    from combblas_spark.operators.spgemm import spgemm
+
+    g = _graph(spark, sf_dir).symmetrize()
+    ga = replace(g, edges=g.edges.filter(F.col("src") <= SPGEMM_MAX_SRC))
+    c = spgemm(ga, g)
+    return c.edges.select("src", "dst", F.round("w", 6).alias("w"))
+
+
+def q_masked_colsums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from combblas_spark.operators.reduce import masked_reduce
+    from combblas_spark.sources.tables import SUPPLIER_OFFSET, load_table
+
+    g = _graph(spark, sf_dir)
+    mask = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_suppkey") % 2 == 1)
+        .select((F.col("s_suppkey") + SUPPLIER_OFFSET).alias("v"))
+    )
+    out = masked_reduce(g, mask, dim="dst")
+    return out.select("v", F.round("val", 6).alias("colsum"))
+
+
+def _docs(spark, sf_dir):
+    from combblas_spark.sources.tables import load_table
+
+    return load_table(spark, sf_dir, "documents")
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from combblas_spark.pipeline.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(_docs(spark, sf_dir), n=JACCARD_N, threshold=JACCARD_T)
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from combblas_spark.pipeline.text import language_id
+
+    return language_id(_docs(spark, sf_dir))
+
+
+def q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from combblas_spark.pipeline.text import quality_score
+
+    return quality_score(_docs(spark, sf_dir))
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from combblas_spark.pipeline.text import fingerprint
+
+    return fingerprint(_docs(spark, sf_dir))
+
+
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from combblas_spark.pipeline.text import token_stats
+
+    return token_stats(_docs(spark, sf_dir))
+
+
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from combblas_spark.pipeline.similarity import cosine_topk_brute
+    from combblas_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < ANN_NQ)
+    return cosine_topk_brute(emb, queries, k=ANN_K)
+
+
+def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rows-only gate (LSH recall < 1 by design); exactness is covered
+    by q_ngram_jaccard and pytest cross-validation."""
+    from combblas_spark.pipeline.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(_docs(spark, sf_dir), threshold=JACCARD_T)
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rows-only gate; byte-exactness vs the pinned scalar reference is
+    asserted in tests/test_pipeline.py."""
+    from combblas_spark.pipeline.dedup import simhash_signatures
+
+    return simhash_signatures(_docs(spark, sf_dir))
+
+
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rows-only gate: multimodal decode/featurize plumbing over the
+    deterministic synthetic media table (stubbed codec)."""
+    from combblas_spark.pipeline.multimodal import decode_and_featurize, synth_media
+
+    return decode_and_featurize(synth_media(spark, 200, seed=42), feat_dim=8)
+
+
+def q_webgraph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rows-only gate: the full north-star ingest path — synthetic
+    Common-Crawl-style pages → Arrow-UDF text/link extraction → url→id
+    dictionary → PageRank (html parsing is not SQL-expressible)."""
+    from combblas_spark.algos.pagerank import pagerank_fixed
+    from combblas_spark.sources.webgraph import synth_web_graph
+
+    wg = synth_web_graph(spark, 256, seed=42, n_partitions=8)
+    ranks = pagerank_fixed(spark, wg.graph, n_iter=PR_ITERS, alpha=ALPHA)
+    return ranks.select("v", F.round("rank", 6).alias("rank"))
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -312,6 +617,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kselect_top2": q_kselect,
         "dedup_exact": q_dedup_exact,
         "text_stats": q_text_stats,
+        "bfs4": q_bfs,
+        "sssp4": q_sssp,
+        "spgemm_rows": q_spgemm,
+        "masked_colsums": q_masked_colsums,
+        "ngram_jaccard": q_ngram_jaccard,
+        "lang_id": q_lang_id,
+        "quality": q_quality,
+        "fingerprint": q_fingerprint,
+        "token_stats": q_token_stats,
+        "cosine_topk5": q_cosine_topk,
+        "minhash_lsh": q_minhash_lsh,
+        "simhash64": q_simhash,
+        "media_features": q_media_features,
+        "webgraph_pagerank": q_webgraph_pagerank,
     }
 
 
@@ -326,4 +645,17 @@ def oracle_sql() -> dict[str, str]:
         "kselect_top2": KSELECT_SQL,
         "dedup_exact": DEDUP_EXACT_SQL,
         "text_stats": TEXT_STATS_SQL,
+        "bfs4": _bfs_sql(BFS_LEVELS, BFS_SRC),
+        "sssp4": _sssp_sql(SSSP_ROUNDS, BFS_SRC),
+        "spgemm_rows": SPGEMM_SQL,
+        "masked_colsums": MASKED_COLSUMS_SQL,
+        "ngram_jaccard": NGRAM_JACCARD_SQL,
+        "lang_id": _lang_id_sql(),
+        "quality": _quality_sql(),
+        "fingerprint": FINGERPRINT_SQL,
+        "token_stats": TOKEN_STATS_SQL,
+        "cosine_topk5": COSINE_TOPK_SQL,
+        # minhash_lsh / simhash64 / media_features / webgraph_pagerank:
+        # intentionally rows-only (approximate recall or non-SQL input);
+        # cross-validated in tests/ instead.
     }

@@ -31,11 +31,13 @@ def masked_reduce(
     g: Graph, mask: DataFrame, dim: str = "dst", agg: Column | None = None,
     exclude: bool = False,
 ) -> DataFrame:
-    """MaskedReduce: reduce restricted to (or excluding) rows whose id
-    is present in ``mask`` (v)."""
-    other = DST if dim == "src" else SRC
+    """MaskedReduce (SpParMat.cpp:1849-2027): reduce restricted to (or
+    excluding) result indices present in ``mask`` (v) — the mask indexes
+    the reduced dimension, like the reference's sparse mask vector over
+    the output."""
+    key = DST if dim == "dst" else SRC
     how = "left_anti" if exclude else "left_semi"
-    masked = g.edges.join(mask.select(F.col("v").alias(other)), other, how)
+    masked = g.edges.join(mask.select(F.col("v").alias(key)), key, how)
     return reduce_dim(replace(g, edges=masked), dim=dim, agg=agg)
 
 

@@ -1,0 +1,104 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+All hot-path logic is JVM-side builtin column expressions (tokenize,
+ratios, hashes) so plans stay inside whole-stage codegen; nothing here
+needs Python at execution time.  Every function is deterministic and
+has an exact ANSI-SQL twin in __spark_entry__.oracle_sql.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# tiny per-language stopword lists for the n-gram/stopword language
+# heuristic (deliberately small + frozen so the SQL oracle can inline them)
+STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "it", "that", "for"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "zu", "mit", "auf"],
+    "fr": ["le", "la", "les", "et", "est", "un", "une", "dans", "pour", "que"],
+}
+
+
+def tokens_col(text: F.Column | str) -> F.Column:
+    """Whitespace tokenization (the corpus is whitespace-delimited)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.split(c, " ", -1)
+
+
+def token_stats(docs: DataFrame) -> DataFrame:
+    """(doc_id, chars, tokens, uniq_tokens, avg_token_len)."""
+    toks = tokens_col("text")
+    return docs.select(
+        "doc_id",
+        F.length("text").alias("chars"),
+        F.size(toks).cast("long").alias("tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("uniq_tokens"),
+        F.round(
+            (F.length("text") - F.size(toks) + 1) / F.size(toks), 6
+        ).alias("avg_token_len"),
+    )
+
+
+def language_id(docs: DataFrame) -> DataFrame:
+    """Stopword-hit language heuristic: distinct-token overlap with each
+    language's frozen stopword list; ties break by language code order.
+
+    Fully JVM-side: array_intersect over a literal array — at 100 TB
+    this is a narrow map with no shuffle at all.
+    """
+    uniq = F.array_distinct(tokens_col("text"))
+    scores = [
+        F.size(F.array_intersect(uniq, F.array(*[F.lit(w) for w in ws]))).alias(
+            f"score_{lang}"
+        )
+        for lang, ws in STOPWORDS.items()
+    ]
+    scored = docs.select("doc_id", *scores)
+    langs = list(STOPWORDS)
+    best = F.greatest(*[F.col(f"score_{l}") for l in langs])
+    # first language hitting the max wins the tie (en > de > fr)
+    expr = F.coalesce(
+        *[F.when(F.col(f"score_{l}") == best, F.lit(l)) for l in langs]
+    )
+    return scored.select(
+        "doc_id",
+        *[F.col(f"score_{l}").cast("long") for l in langs],
+        F.when(best == 0, F.lit("und")).otherwise(expr).alias("lang_pred"),
+    )
+
+
+def quality_score(docs: DataFrame) -> DataFrame:
+    """Heuristic document quality: length band, stopword ratio, mean
+    token length, repetition (uniq/total) — the usual web-corpus
+    filters, each a pure column expression.
+    """
+    toks = tokens_col("text")
+    n_tok = F.size(toks).cast("double")
+    uniq_ratio = F.size(F.array_distinct(toks)) / n_tok
+    sw = F.array(*[F.lit(w) for w in STOPWORDS["en"]])
+    sw_hits = F.size(F.filter(toks, lambda t: F.array_contains(sw, t))).cast("double")
+    sw_ratio = sw_hits / n_tok
+    len_ok = (F.length("text") >= 50) & (F.length("text") <= 10000)
+    score = (
+        F.when(len_ok, F.lit(0.25)).otherwise(F.lit(0.0))
+        + F.least(sw_ratio * 2.5, F.lit(0.25))
+        + F.least(uniq_ratio, F.lit(0.5))
+    )
+    return docs.select(
+        "doc_id",
+        F.round(uniq_ratio, 6).alias("uniq_ratio"),
+        F.round(sw_ratio, 6).alias("stopword_ratio"),
+        F.round(score, 6).alias("quality"),
+    )
+
+
+def fingerprint(docs: DataFrame) -> DataFrame:
+    """Document fingerprint: md5 over casefolded, punctuation-stripped,
+    whitespace-collapsed text — the cheap exact-near-dup key."""
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", ""), " +", " "
+        )
+    )
+    return docs.select("doc_id", F.md5(norm.cast("binary")).alias("fp"))

@@ -1,0 +1,98 @@
+"""Pages → text/links extraction tests (FIXTURES.md §1 invariants).
+
+* byte-identical text per url: Arrow-vectorized extract_text vs the
+  pinned pure-Python reference extractor (input_hint contract), and vs
+  the golden ``text`` column generated at build time;
+* extracted link set == the generator's documented link rule;
+* end-to-end: synthetic crawl → dictionary → Graph → PageRank runs and
+  ranks sum to ~1.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from combblas_spark.sources.extract import extract_text, extract_text_py, page_links
+from combblas_spark.sources.pages import (
+    expected_edges,
+    page_url,
+    synth_pages,
+)
+from combblas_spark.sources.webgraph import pages_to_graph, synth_web_graph
+
+N_PAGES = 64
+
+
+@pytest.fixture(scope="module")
+def pages(spark):
+    return synth_pages(spark, N_PAGES, seed=42, n_partitions=4).cache()
+
+
+def test_extract_text_byte_identical(spark, pages):
+    rows = (
+        pages.select(
+            "url",
+            "html",
+            "text",
+            extract_text(F.col("html")).alias("extracted"),
+        )
+        .collect()
+    )
+    assert len(rows) == N_PAGES
+    for r in rows:
+        ref = extract_text_py(bytes(r["html"]))
+        assert r["extracted"] == ref, f"vectorized != reference for {r['url']}"
+        assert r["text"] == ref, f"golden column != reference for {r['url']}"
+        assert "ignored" not in r["extracted"]  # <title>/<style>/<script> dropped
+        assert "&amp;" not in r["extracted"]  # entities unescaped
+
+
+def test_extraction_handles_edge_cases():
+    assert extract_text_py(b"") == ""
+    assert extract_text_py(b"<p>a&amp;b</p>") == "a&b"
+    assert extract_text_py(b"plain no tags") == "plain no tags"
+    assert extract_text_py("<p>café</p>".encode()) == "café"
+    assert extract_text_py(b"\xff\xfebad utf8") != ""  # errors=replace, no crash
+    assert extract_text_py(b"<SCRIPT>x</SCRIPT>visible") == "visible"
+
+
+def test_links_match_generator_rule(spark, pages):
+    got = {
+        (r["src_url"], r["dst_url"]) for r in page_links(pages).distinct().collect()
+    }
+    want = {
+        (page_url(s), page_url(d))
+        for s, d in expected_edges(N_PAGES, seed=42)
+    }
+    assert got == want
+
+
+def test_pages_deterministic_across_partitioning(spark):
+    a = synth_pages(spark, 32, seed=7, n_partitions=1).orderBy("url").collect()
+    b = synth_pages(spark, 32, seed=7, n_partitions=8).orderBy("url").collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+
+def test_dictionary_relabel_roundtrip(spark, pages):
+    wg = pages_to_graph(pages, n_partitions=4)
+    id_of = {r["label"]: r["id"] for r in wg.dictionary.collect()}
+    # dense ids 0..n-1
+    assert sorted(id_of.values()) == list(range(len(id_of)))
+    got = {(r["src"], r["dst"]) for r in wg.graph.edges.collect()}
+    want = {
+        (id_of[page_url(s)], id_of[page_url(d)])
+        for s, d in expected_edges(N_PAGES, seed=42)
+        if s != d
+    }
+    assert got == want
+
+
+def test_end_to_end_pagerank_on_crawl(spark):
+    from combblas_spark.algos.pagerank import pagerank
+
+    wg = synth_web_graph(spark, 48, seed=42, n_partitions=4)
+    res = pagerank(spark, wg.graph, tol=1e-6, max_iter=60)
+    total = res.ranks.agg(F.sum("rank")).collect()[0][0]
+    assert res.delta <= 1e-6
+    assert total == pytest.approx(1.0, abs=1e-6)

@@ -1,0 +1,193 @@
+"""Training-data pipeline operator tests: dedup, similarity, text, multimodal."""
+
+from __future__ import annotations
+
+import itertools
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from combblas_spark.pipeline.dedup import (
+    exact_duplicates,
+    minhash_lsh_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash_near_pairs,
+    simhash_py,
+    simhash_signatures,
+)
+from combblas_spark.pipeline.multimodal import (
+    decode_and_featurize,
+    frame_sample,
+    synth_media,
+)
+from combblas_spark.pipeline.similarity import cosine_topk_brute, cosine_topk_lsh
+from combblas_spark.pipeline.text import fingerprint, language_id, quality_score
+
+BASE = "the quick brown fox jumps over the lazy dog again and again today"
+DOCS = [
+    (0, BASE),
+    (1, BASE),  # exact dup of 0
+    (2, BASE.replace("today", "tomorrow")),  # near dup
+    (3, "completely different content about sparse matrices and semirings xyz"),
+    (4, "der hund läuft und die katze ist nicht da ein zu mit auf"),
+    (5, "le chat est dans la maison et les oiseaux pour que une"),
+]
+
+
+def _py_jaccard(a: str, b: str, n: int = 3) -> float:
+    def grams(t):
+        toks = t.split(" ")
+        return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+    ga, gb = grams(a), grams(b)
+    return len(ga & gb) / len(ga | gb)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string").cache()
+
+
+def test_exact_duplicates(spark, docs):
+    groups = {r["keep_id"]: r["n_dups"] for r in exact_duplicates(docs).collect()}
+    assert groups[0] == 2  # docs 0 and 1
+    assert sum(groups.values()) == len(DOCS)
+
+
+def test_ngram_jaccard_matches_bruteforce(spark, docs):
+    got = {
+        (r["a"], r["b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs, n=3, threshold=0.5).collect()
+    }
+    want = {}
+    for (ia, ta), (ib, tb) in itertools.combinations(DOCS, 2):
+        j = _py_jaccard(ta, tb)
+        if j >= 0.5:
+            want[(ia, ib)] = round(j, 6)
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k] == pytest.approx(want[k], abs=1e-6)
+
+
+def test_minhash_lsh_finds_near_dups(spark, docs):
+    pairs = {
+        (r["a"], r["b"]) for r in minhash_lsh_pairs(docs, threshold=0.5).collect()
+    }
+    assert (0, 1) in pairs  # exact dup always collides
+    assert (0, 2) in pairs and (1, 2) in pairs  # near dups
+    assert all(_py_jaccard(DOCS[a][1], DOCS[b][1]) >= 0.5 for a, b in pairs)
+
+
+def test_minhash_deterministic(spark, docs):
+    s1 = {r["doc_id"]: list(r["sig"]) for r in minhash_signatures(docs).collect()}
+    s2 = {r["doc_id"]: list(r["sig"]) for r in minhash_signatures(docs).collect()}
+    assert s1 == s2
+    assert s1[0] == s1[1]  # identical text -> identical signature
+    assert s1[0] != s1[3]
+
+
+def test_simhash_matches_reference(spark, docs):
+    got = {r["doc_id"]: r["simhash"] for r in simhash_signatures(docs).collect()}
+    for doc_id, text in DOCS:
+        assert got[doc_id] == simhash_py(text), doc_id
+
+
+def test_simhash_near_pairs(spark, docs):
+    pairs = {(r["a"], r["b"]): r["hamming"] for r in simhash_near_pairs(docs, 3).collect()}
+    assert pairs[(0, 1)] == 0
+    for (a, b), d in pairs.items():
+        ref = bin(
+            (simhash_py(DOCS[a][1]) ^ simhash_py(DOCS[b][1])) & ((1 << 64) - 1)
+        ).count("1")
+        assert d == ref <= 3
+
+
+# --------------------------------------------------------------------------
+# similarity search
+# --------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet").cache()
+
+
+def test_cosine_topk_brute_vs_numpy(spark, emb):
+    rows = emb.collect()
+    vecs = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64) for r in rows}
+    qids = sorted(vecs)[:3]
+    queries = emb.filter(F.col("vec_id").isin([int(q) for q in qids]))
+    got = cosine_topk_brute(emb, queries, k=4).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["q"], []).append((r["neighbor"], r["cos"]))
+    for q in qids:
+        qv = vecs[q]
+        sims = {
+            i: float(qv @ v / (np.linalg.norm(qv) * np.linalg.norm(v)))
+            for i, v in vecs.items()
+            if i != q
+        }
+        want = sorted(sims.items(), key=lambda kv: (-kv[1], kv[0]))[:4]
+        got_ids = [n for n, _ in by_q[q]]
+        assert got_ids == [i for i, _ in want]
+        for (gn, gc), (wn, wc) in zip(by_q[q], want):
+            assert gc == pytest.approx(wc, abs=1e-5)
+
+
+def test_cosine_topk_lsh_recall(spark, emb):
+    queries = emb.limit(10)
+    brute = cosine_topk_brute(emb, queries, k=5).collect()
+    approx = cosine_topk_lsh(emb, queries, k=5).collect()
+    bset = {(r["q"], r["neighbor"]) for r in brute}
+    aset = {(r["q"], r["neighbor"]) for r in approx}
+    recall = len(bset & aset) / len(bset)
+    assert recall >= 0.8, f"LSH recall too low: {recall}"
+
+
+# --------------------------------------------------------------------------
+# text analysis
+# --------------------------------------------------------------------------
+
+def test_language_id(spark, docs):
+    got = {r["doc_id"]: r["lang_pred"] for r in language_id(docs).collect()}
+    assert got[0] == "en" and got[3] == "en"
+    assert got[4] == "de"
+    assert got[5] == "fr"
+
+
+def test_quality_and_fingerprint(spark, docs):
+    q = {r["doc_id"]: r for r in quality_score(docs).collect()}
+    assert 0 < q[0]["quality"] <= 1.0
+    assert q[3]["uniq_ratio"] == 1.0  # no repeated tokens
+    fp = {r["doc_id"]: r["fp"] for r in fingerprint(docs).collect()}
+    assert fp[0] == fp[1] and fp[0] != fp[2]
+
+
+# --------------------------------------------------------------------------
+# multimodal plumbing
+# --------------------------------------------------------------------------
+
+def test_multimodal_plumbing(spark):
+    media = synth_media(spark, 30, seed=42, n_partitions=3).cache()
+    feats = decode_and_featurize(media, feat_dim=8).collect()
+    assert len(feats) == 30
+    for r in feats:
+        assert len(r["features"]) == 8
+        assert all(0.0 <= f <= 255.0 for f in r["features"])
+    # deterministic across runs & partitionings
+    again = {
+        r["media_id"]: r["features"]
+        for r in decode_and_featurize(
+            synth_media(spark, 30, seed=42, n_partitions=7), feat_dim=8
+        ).collect()
+    }
+    for r in feats:
+        assert again[r["media_id"]] == r["features"]
+    frames = frame_sample(media, every_ms=1000)
+    counts = {r["media_id"]: r["n"] for r in frames.groupBy("media_id").agg(F.count("*").alias("n")).collect()}
+    vids = {r["media_id"]: r["duration_ms"] for r in media.filter("kind='video'").collect()}
+    assert set(counts) == set(vids)
+    for mid, dur in vids.items():
+        assert counts[mid] == max(dur // 1000, 1)
