@@ -6,11 +6,25 @@ iteration ``pr' = α·(Σ incoming contrib + dangling_mass/n) + (1-α)/n``
 with dangling (no-out-edge) mass allreduced each iteration (:160-201),
 convergence ``max|pr'-pr| < tol``.
 
-Spark formulation: contrib(v) = rank(v)/outdeg(v) (DimApply analogue),
-one co-partitioned join edges⋈contrib + groupBy(dst).sum per iteration
-(the PlusTimes SpMV), dangling mass as a scalar agg, lineage cut every
-iteration via localCheckpoint (or durable checkpoints through
-plans.checkpoint for resumability).
+Spark formulation, tuned for one-shuffle iterations:
+
+* contrib(v) = rank(v)/outdeg(v) — the DimApply analogue, fused into
+  the rank row as a column expression (no extra pass);
+* the PlusTimes SpMV is ``edges ⋈ contrib`` — the contrib side is the
+  vertex vector (tiny next to edges), so Catalyst picks a
+  **broadcast-hash join: the edge table never shuffles**; the only
+  wide exchange per iteration is the groupBy(dst) partial+final
+  aggregation (the reference's MergeContributions);
+* dangling vertices are a **static set** (outdeg == 0 never changes),
+  so each iteration needs only their rank sum — folded, together with
+  the convergence delta ``max|pr'-pr|``, into ONE scalar aggregate per
+  iteration: a single driver action materializes the new ranks
+  (localCheckpoint cuts lineage) and a single cheap follow-up job over
+  the checkpointed rows yields (delta, next dangling mass);
+* at cluster scale the same plan holds: broadcast of an O(n) vector
+  (n = vertices ≪ edges for web graphs at fixed memory/executor) or,
+  beyond broadcast reach, a co-partitioned shuffle of the small side
+  only — either way the 100 TB edge table is read in place.
 """
 
 from __future__ import annotations
@@ -38,60 +52,77 @@ def pagerank(
     tol: float = 1e-6,
     max_iter: int = 100,
     checkpointer=None,
-    check_every: int = 1,
+    broadcast_contrib: bool | None = None,
 ) -> PageRankResult:
     """Run PageRank to ``tol`` convergence (or ``max_iter``).
 
     ``checkpointer``: optional plans.checkpoint.Checkpointer — when set,
     each iteration's ranks are snapshotted durably and the run is
     resumable (north-rule).  Without it, localCheckpoint cuts lineage.
+
+    Exactly two driver actions per iteration: the rank materialization
+    (checkpoint) and one fused scalar aggregate yielding both the
+    convergence delta and the next iteration's dangling mass.
     """
-    # vertex universe + out-degrees, computed once and cached
-    verts = g.vertices().repartition(g.n_partitions, "v").cache()
-    n = verts.count()
+    # --- static per-vertex state, computed once --------------------------
+    # vd: (v, deg) with deg=0 for dangling vertices; cached and reused.
+    verts = g.vertices()
     outdeg = g.out_degrees()
-    # vd: (v, deg) with deg=0 for dangling vertices
     vd = (
         verts.join(outdeg, "v", "left")
         .select("v", F.coalesce(F.col("deg"), F.lit(0)).alias("deg"))
         .repartition(g.n_partitions, "v")
         .cache()
     )
-    vd.count()
+    n = vd.count()
+    # PageRank follows the link pattern: contribution = rank/outdeg per
+    # edge, independent of edge weight (pagerank.cpp:160-201) — only the
+    # (src, dst) columns are read, so column pruning trims the scan.
+    edges = g.edges.select(SRC, DST).cache()
+    m = edges.count()
+    if broadcast_contrib is None:
+        # SpMSpV-style switch (reference cutoff CC.h:1256): broadcast the
+        # vertex vector while it fits; beyond that, co-partitioned shuffle
+        # of the small side only.
+        from ..operators.spmv import BROADCAST_NNZ_CUTOFF
 
-    m = g.num_edges()
-    edges = g.edges.repartition(g.n_partitions, SRC).cache()
-    edges.count()
+        broadcast_contrib = n < BROADCAST_NNZ_CUTOFF
 
     start_iter = 0
+    ranks = None
     if checkpointer is not None and checkpointer.latest_iteration() is not None:
         start_iter = checkpointer.latest_iteration() + 1
         ranks = checkpointer.load_latest(spark)
-    else:
-        ranks = vd.select("v", F.lit(1.0 / n).alias("rank"))
+        dangling = float(
+            ranks.filter(F.col("deg") == 0).agg(F.sum("rank")).collect()[0][0] or 0.0
+        )
+    if ranks is None:
+        # init 1/n; ranks carries deg so the iteration needs no extra join
+        ranks = vd.select("v", "deg", F.lit(1.0 / n).alias("rank"))
+        ranks = ranks.localCheckpoint(eager=True)
+        dangling = ranks.filter(F.col("deg") == 0).count() / n
 
     delta = float("inf")
     it = start_iter
     while it < max_iter and delta > tol:
-        # contrib = rank/outdeg on non-dangling; dangling mass is a scalar
-        rd = ranks.join(vd, "v")
-        dangling = (
-            rd.filter(F.col("deg") == 0).agg(F.sum("rank")).collect()[0][0] or 0.0
+        # PlusTimes SpMV: edges ⋈ contrib (broadcast) → groupBy(dst).sum.
+        # contrib = rank/deg for non-dangling sources.
+        contrib = (
+            ranks.filter(F.col("deg") > 0)
+            .select("v", (F.col("rank") / F.col("deg")).alias("val"))
         )
-        contrib = rd.filter(F.col("deg") > 0).select(
-            "v", (F.col("rank") / F.col("deg")).alias("val")
-        )
-        # PlusTimes SpMV: edges ⋈ contrib → groupBy(dst).sum
+        x = F.broadcast(contrib) if broadcast_contrib else contrib
         sums = (
-            edges.join(contrib, edges[SRC] == contrib["v"], "inner")
+            edges.join(x, edges[SRC] == x["v"], "inner")
             .groupBy(F.col(DST).alias("v"))
-            .agg(F.sum("val").alias("s"))
+            .agg(F.sum(F.col("val")).alias("s"))
         )
         base = (1.0 - alpha) / n + alpha * dangling / n
         new_ranks = (
-            verts.join(sums, "v", "left")
+            vd.join(sums, "v", "left")
             .select(
                 "v",
+                "deg",
                 (F.lit(base) + F.lit(alpha) * F.coalesce(F.col("s"), F.lit(0.0))).alias(
                     "rank"
                 ),
@@ -99,21 +130,33 @@ def pagerank(
             .repartition(g.n_partitions, "v")
         )
         if checkpointer is not None:
-            new_ranks = checkpointer.snapshot(new_ranks, it, metrics={"n": n, "m": m})
+            new_ranks = checkpointer.snapshot(
+                new_ranks, it, metrics={"n": n, "m": m}
+            )
         else:
             new_ranks = new_ranks.localCheckpoint(eager=True)
-
-        if (it - start_iter) % check_every == 0 or it == max_iter - 1:
-            delta = (
-                new_ranks.join(ranks.withColumnRenamed("rank", "old"), "v")
-                .agg(F.max(F.abs(F.col("rank") - F.col("old"))).alias("d"))
-                .collect()[0][0]
+        # ONE fused scalar job over the two checkpointed vectors:
+        # convergence delta + next iteration's dangling mass (the
+        # reference's per-iteration allreduce, pagerank.cpp:160-201)
+        row = (
+            new_ranks.join(ranks.select("v", F.col("rank").alias("_prev")), "v")
+            .agg(
+                F.max(F.abs(F.col("rank") - F.col("_prev"))).alias("d"),
+                F.sum(
+                    F.when(F.col("deg") == 0, F.col("rank")).otherwise(F.lit(0.0))
+                ).alias("dm"),
             )
+            .collect()[0]
+        )
+        delta, dangling = float(row["d"]), float(row["dm"] or 0.0)
         ranks = new_ranks
         it += 1
 
     return PageRankResult(
-        ranks=ranks, iterations=it, delta=delta, edges_processed=m * it
+        ranks=ranks.select("v", "rank"),
+        iterations=it,
+        delta=delta,
+        edges_processed=m * it,
     )
 
 
