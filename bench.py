@@ -32,10 +32,20 @@ sys.path.insert(0, REPO)
 def build_spark(cpus: int, shuffle: int):
     from combblas_spark.session import get_spark
 
+    extra = {}
+    # memory-backed shuffle dirs remove local-disk contention between
+    # concurrent shuffle writers (bench-only; a real cluster has
+    # per-executor disks + the external shuffle service)
+    if os.path.isdir("/dev/shm"):
+        shm = "/dev/shm/spark-bench-local"
+        os.makedirs(shm, exist_ok=True)
+        extra["spark.local.dir"] = shm
+        extra["spark.shuffle.compress"] = "false"
     return get_spark(
         app_name=f"combblas-bench-{cpus}",
         master=f"local[{cpus}]",
         shuffle_partitions=shuffle,
+        extra_conf=extra,
     )
 
 
@@ -57,12 +67,40 @@ def bench_pagerank(spark, sf_dir: str, n_partitions: int):
     return wall, res.iterations, m, eps
 
 
+def bench_pagerank_rmat(spark, scale: int, n_iter: int, n_partitions: int, broadcast=None):
+    """Scaling-evidence kernel: fixed PageRank iterations on a seeded
+    R-MAT graph (Graph500 initiator), so both parallelism levels run
+    the IDENTICAL job on the IDENTICAL input and the measurement is
+    pure SpMV superstep throughput (no convergence-length variation).
+    """
+    from combblas_spark.algos.pagerank import pagerank
+    from combblas_spark.sources.generators import rmat_graph
+
+    g = rmat_graph(spark, scale=scale, edge_factor=16, seed=42, n_partitions=n_partitions)
+    g = g.cache()
+    m = g.num_edges()  # materialize the generated graph outside the timer
+    res = pagerank(spark, g, tol=-1.0, max_iter=n_iter, broadcast_contrib=broadcast)
+    res.ranks.count()
+    # Graph500-style accounting: steady-state per-superstep throughput —
+    # median per-iteration wall after dropping JIT/warmup iterations
+    # (TopDownBFS.cpp:460-464 likewise times BFS runs, not construction)
+    warm = res.iter_seconds[3:] if len(res.iter_seconds) > 5 else res.iter_seconds
+    med = sorted(warm)[len(warm) // 2]
+    return res.loop_seconds, n_iter, m, m / med
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     ap.add_argument("--cpus", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
     ap.add_argument("--shuffle", type=int, default=0, help="shuffle partitions (0 = 2*cpus)")
     ap.add_argument("--kernel-only", action="store_true", help="only the PageRank north-metric kernel")
+    ap.add_argument("--rmat-scale", type=int, default=0,
+                    help="use a seeded R-MAT graph of this scale for the kernel (scaling evidence)")
+    ap.add_argument("--fixed-iters", type=int, default=10,
+                    help="fixed iteration count for the R-MAT kernel")
+    ap.add_argument("--no-broadcast", action="store_true",
+                    help="force the co-partitioned shuffle SpMV path (vs broadcast)")
     ap.add_argument("--skip", default="", help="comma-separated query names to skip")
     args = ap.parse_args()
     shuffle = args.shuffle or max(2 * args.cpus, 8)
@@ -73,8 +111,15 @@ def main() -> None:
     timings: dict[str, float] = {}
 
     # --- north-metric kernel -------------------------------------------
-    pr_wall, pr_iters, n_edges, eps = bench_pagerank(spark, args.sf_dir, shuffle)
-    timings["pagerank_converged"] = round(pr_wall, 3)
+    if args.rmat_scale:
+        pr_wall, pr_iters, n_edges, eps = bench_pagerank_rmat(
+            spark, args.rmat_scale, args.fixed_iters, shuffle,
+            broadcast=False if args.no_broadcast else None,
+        )
+        timings[f"pagerank_rmat_s{args.rmat_scale}"] = round(pr_wall, 3)
+    else:
+        pr_wall, pr_iters, n_edges, eps = bench_pagerank(spark, args.sf_dir, shuffle)
+        timings["pagerank_converged"] = round(pr_wall, 3)
 
     extras = {
         "pagerank_iterations": pr_iters,

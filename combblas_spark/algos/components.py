@@ -48,8 +48,12 @@ def connected_components(
     """
     edges = _symmetrized_edges(g).repartition(g.n_partitions, SRC).cache()
     edges.count()
+    # symmetrized ⇒ every vertex appears as src: derive the label init
+    # from the CACHED edges, not the upstream plan (which could be a
+    # whole extraction pipeline re-executed)
     labels = (
-        g.vertices()
+        edges.select(F.col(SRC).alias("v"))
+        .distinct()
         .select("v", F.col("v").alias("comp"))
         .repartition(g.n_partitions, "v")
         .cache()

@@ -37,8 +37,16 @@ def label_propagation(
     edges = e.repartition(g.n_partitions, SRC).cache()
     edges.count()
 
+    # init from the CACHED edge table (not the upstream plan); with
+    # symmetrize every vertex appears as src, otherwise union both ends
+    if symmetrize:
+        vs = edges.select(F.col(SRC).alias("v"))
+    else:
+        vs = edges.select(F.col(SRC).alias("v")).unionByName(
+            edges.select(F.col(DST).alias("v"))
+        )
     labels = (
-        g.vertices().select("v", F.col("v").alias("label"))
+        vs.distinct().select("v", F.col("v").alias("label"))
         .repartition(g.n_partitions, "v")
         .cache()
     )

@@ -2,58 +2,92 @@
 """Two-parallelism-level scaling evidence (north rule).
 
 No real multi-node cluster exists in the sandbox, so the N -> 4N
-executor criterion is evidenced by running the SAME PageRank kernel on
-the SAME input at two local parallelism levels (default local[8] and
-local[32], i.e. N and 4N cores) in separate JVMs, and reporting
-throughput (edges/sec per SpMV iteration) at both plus
+executor criterion is evidenced by running the SAME PageRank job on
+the SAME input (seeded R-MAT graph) at two local parallelism levels
+(default local[2] and local[8] = N and 4N cores) in separate JVMs.
 
-    efficiency = (tput_4N / tput_N) / 4
+Measurement protocol (the sandbox VM's wall-clock is noisy):
+* per level, REPS fresh-JVM runs, INTERLEAVED (a,b,a,b,...) so host
+  drift hits both levels equally;
+* each run reports steady-state per-superstep throughput (median
+  per-iteration wall after JIT warmup, Graph500-style — construction
+  excluded);
+* the level's throughput is the median across its runs;
+* efficiency = (tput_4N / tput_N) / (4N/N).
 
 Writes BENCH_SCALING.json at the repo root and prints it.
+
+Env knobs: SCALING_N (2), SCALING_4N (8), SCALING_RMAT_SCALE (20),
+SCALING_ITERS (15), SCALING_REPS (3), SCALING_MEM (48g).
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import subprocess
 import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def run_level(cpus: int, sf_dir: str) -> dict:
+def run_once(cpus: int, scale: str, iters: str, mem: str) -> dict:
     cmd = [
         sys.executable,
         os.path.join(REPO, "bench.py"),
         "--kernel-only",
-        "--cpus",
-        str(cpus),
-        "--sf-dir",
-        sf_dir,
+        "--cpus", str(cpus),
+        "--shuffle", "64",
+        "--rmat-scale", scale,
+        "--fixed-iters", iters,
     ]
-    out = subprocess.run(cmd, capture_output=True, text=True, cwd=REPO, check=True)
+    env = dict(os.environ, SPARK_GRAFT_DRIVER_MEM=mem)
+    out = subprocess.run(cmd, capture_output=True, text=True, cwd=REPO, env=env, check=True)
     line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
     return json.loads(line)
 
 
 def main() -> None:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else os.environ.get(
-        "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
-    )
-    lo_cpus = int(os.environ.get("SCALING_N", "8"))
-    hi_cpus = int(os.environ.get("SCALING_4N", "32"))
+    lo = int(os.environ.get("SCALING_N", "2"))
+    hi = int(os.environ.get("SCALING_4N", "8"))
+    scale = os.environ.get("SCALING_RMAT_SCALE", "20")
+    iters = os.environ.get("SCALING_ITERS", "15")
+    reps = int(os.environ.get("SCALING_REPS", "3"))
+    mem = os.environ.get("SCALING_MEM", "48g")
 
-    lo = run_level(lo_cpus, sf_dir)
-    hi = run_level(hi_cpus, sf_dir)
-    ratio = hi_cpus / lo_cpus
-    eff = (hi["edges_per_sec_per_iter"] / lo["edges_per_sec_per_iter"]) / ratio
+    samples: dict[int, list[dict]] = {lo: [], hi: []}
+    for r in range(reps):
+        for cpus in (lo, hi):  # interleaved
+            res = run_once(cpus, scale, iters, mem)
+            samples[cpus].append(res)
+            print(
+                f"run {r+1}/{reps} local[{cpus}]: "
+                f"{res['edges_per_sec_per_iter']:.0f} edges/s/iter "
+                f"(loop {res['value']}s)",
+                file=sys.stderr,
+            )
+
+    tput = {
+        c: statistics.median(s["edges_per_sec_per_iter"] for s in samples[c])
+        for c in (lo, hi)
+    }
+    ratio = hi / lo
+    eff = (tput[hi] / tput[lo]) / ratio
     result = {
-        "sf_dir": sf_dir,
-        "levels": {f"local[{lo_cpus}]": lo, f"local[{hi_cpus}]": hi},
-        "throughput_edges_per_sec_per_iter": {
-            f"local[{lo_cpus}]": lo["edges_per_sec_per_iter"],
-            f"local[{hi_cpus}]": hi["edges_per_sec_per_iter"],
+        "protocol": (
+            f"seeded R-MAT scale {scale} (edgefactor 16), {iters} fixed PageRank "
+            f"iterations, {reps} interleaved fresh-JVM runs per level, steady-state "
+            "median per-superstep throughput, level value = median of runs"
+        ),
+        "graph_edges": samples[lo][0]["graph_edges"],
+        "levels": {
+            f"local[{c}]": {
+                "throughput_samples": [s["edges_per_sec_per_iter"] for s in samples[c]],
+                "loop_seconds_samples": [s["value"] for s in samples[c]],
+                "median_edges_per_sec_per_iter": tput[c],
+            }
+            for c in (lo, hi)
         },
         "core_ratio": ratio,
         "scaling_efficiency": round(eff, 3),

@@ -1,0 +1,70 @@
+"""MCL clustering + streaming-ingest tests."""
+
+from __future__ import annotations
+
+import os
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from combblas_spark.algos.mcl import mcl
+from combblas_spark.sources import fixtures as FX
+from combblas_spark.streaming.ingest import (
+    append_to_edge_table,
+    incremental_out_degrees,
+    stream_edges,
+)
+
+
+def test_mcl_two_cliques(spark):
+    # 2×K5 (+1 isolate via self-loop) must resolve to the two cliques
+    g = FX.graph(spark, FX.TWO_CLIQUES, n_partitions=4)
+    res = mcl(spark, g, inflation=2.0, max_iter=20)
+    assert res.chaos <= 1e-4
+    got = {r["v"]: r["cluster"] for r in res.clusters.collect()}
+    c1 = {got[v] for v in range(5)}
+    c2 = {got[v] for v in range(5, 10)}
+    assert len(c1) == 1 and len(c2) == 1 and c1 != c2
+    assert got[10] not in (c1 | c2)  # isolate stays its own cluster
+
+
+def test_mcl_seven_graph_converges(spark):
+    g = FX.graph(spark, FX.SEVEN, n_partitions=4).symmetrize()
+    res = mcl(spark, g, inflation=2.0, max_iter=30)
+    assert res.chaos <= 1e-4
+    # every vertex assigned exactly one cluster
+    assert res.clusters.count() == 7
+    assert res.clusters.select("v").distinct().count() == 7
+
+
+def test_streaming_ingest_and_degrees(spark, tmp_path):
+    src_dir = str(tmp_path / "incoming")
+    tbl_dir = str(tmp_path / "edge_table")
+    ck1 = str(tmp_path / "ck_append")
+    ck2 = str(tmp_path / "ck_degs")
+    os.makedirs(src_dir, exist_ok=True)
+
+    batch1 = spark.createDataFrame(
+        [(0, 1, 1.0), (0, 2, 1.0), (1, 2, 1.0)], "src long, dst long, w double"
+    )
+    batch1.write.mode("append").parquet(src_dir)
+
+    q = append_to_edge_table(stream_edges(spark, src_dir), tbl_dir, ck1)
+    q.awaitTermination(60)
+    assert spark.read.parquet(tbl_dir).count() == 3
+
+    # second micro-batch arrives; append picks up only the new file
+    batch2 = spark.createDataFrame(
+        [(0, 3, 1.0), (2, 3, 1.0)], "src long, dst long, w double"
+    )
+    batch2.write.mode("append").parquet(src_dir)
+    q = append_to_edge_table(stream_edges(spark, src_dir), tbl_dir, ck1)
+    q.awaitTermination(60)
+    assert spark.read.parquet(tbl_dir).count() == 5
+
+    # stateful degree aggregation over everything ingested so far
+    q = incremental_out_degrees(stream_edges(spark, src_dir), ck2, "t_degs")
+    q.awaitTermination(60)
+    degs = {r["v"]: r["deg"] for r in spark.sql("SELECT * FROM t_degs").collect()}
+    assert degs == {0: 3, 1: 1, 2: 1}
