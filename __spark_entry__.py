@@ -329,6 +329,55 @@ SELECT q, neighbor, round(cos, 6) AS cos FROM (
 ) WHERE rn <= {ANN_K}
 """
 
+SESSIONIZE_SQL = """
+WITH o AS (
+  SELECT user_id, ts,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts,
+         event_id
+  FROM events
+),
+marked AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN prev_ts IS NULL OR date_diff('second', prev_ts, ts) > 1800
+              THEN 1 ELSE 0 END AS new_sess
+  FROM o
+),
+sess AS (
+  SELECT user_id, ts,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM marked
+)
+SELECT user_id, session_id, count(*) AS n_events,
+       CAST(date_diff('second', min(ts), max(ts)) AS BIGINT) AS duration_s
+FROM sess GROUP BY user_id, session_id
+"""
+
+MOVING_AVG_SQL = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
+  FROM events GROUP BY event_type, CAST(ts AS DATE)
+)
+SELECT event_type, CAST(day AS VARCHAR) AS day, n,
+       round(avg(n) OVER (PARTITION BY event_type ORDER BY day
+                          ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 6) AS ma7
+FROM daily
+"""
+
+
+def _cc_hist_sql(rounds: int) -> str:
+    base = _cc_sql(rounds)
+    head, _, _ = base.rpartition("\nSELECT")
+    return (
+        head
+        + f"""
+SELECT sz AS size, count(*) AS n FROM (
+  SELECT comp, count(*) AS sz FROM j{rounds} GROUP BY comp
+) GROUP BY sz
+"""
+    )
+
+
 TRIANGLES_SQL = """
 WITH und AS MATERIALIZED (
   SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
@@ -580,6 +629,71 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_and_featurize(synth_media(spark, 200, seed=42), feat_dim=8)
 
 
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-function coverage: 30-min-gap sessionization of the
+    events table (lag + cumulative sum session ids)."""
+    from combblas_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    marked = ev.withColumn(
+        "new_sess",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (
+                F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+                > 1800
+            ),
+            1,
+        ).otherwise(0),
+    )
+    sess = marked.withColumn(
+        "session_id",
+        F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        (F.unix_timestamp(F.max("ts")) - F.unix_timestamp(F.min("ts")))
+        .cast("long")
+        .alias("duration_s"),
+    )
+
+
+def q_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-frame coverage: 7-day moving average of daily event
+    counts per event type (ROWS BETWEEN 6 PRECEDING AND CURRENT)."""
+    from combblas_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count("*").alias("n"))
+    w = Window.partitionBy("event_type").orderBy("day").rowsBetween(-6, 0)
+    return daily.select(
+        "event_type",
+        F.col("day").cast("string").alias("day"),
+        "n",
+        F.round(F.avg("n").over(w), 6).alias("ma7"),
+    )
+
+
+def q_cc_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Component-size histogram (HistCC, CC.h:1576-1617)."""
+    from combblas_spark.algos.components import connected_components
+    from combblas_spark.operators.reduce import histogram
+
+    labels = connected_components(spark, _graph(spark, sf_dir))
+    return histogram(labels, key="comp").select("size", "n")
+
+
+def q_mis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rows-only gate (seeded xxhash64 priorities are not reproducible
+    in ANSI SQL); independence+maximality invariants in tests."""
+    from combblas_spark.algos.mis import maximal_independent_set
+
+    return maximal_independent_set(spark, _graph(spark, sf_dir), seed=42)
+
+
 def q_webgraph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """rows-only gate: the full north-star ingest path — synthetic
     Common-Crawl-style pages → Arrow-UDF text/link extraction → url→id
@@ -631,6 +745,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash64": q_simhash,
         "media_features": q_media_features,
         "webgraph_pagerank": q_webgraph_pagerank,
+        "sessionize": q_sessionize,
+        "moving_avg7": q_moving_avg,
+        "cc_hist": q_cc_hist,
+        "mis": q_mis,
     }
 
 
@@ -655,7 +773,10 @@ def oracle_sql() -> dict[str, str]:
         "fingerprint": FINGERPRINT_SQL,
         "token_stats": TOKEN_STATS_SQL,
         "cosine_topk5": COSINE_TOPK_SQL,
-        # minhash_lsh / simhash64 / media_features / webgraph_pagerank:
+        "sessionize": SESSIONIZE_SQL,
+        "moving_avg7": MOVING_AVG_SQL,
+        "cc_hist": _cc_hist_sql(CC_ROUNDS),
+        # minhash_lsh / simhash64 / media_features / webgraph_pagerank / mis:
         # intentionally rows-only (approximate recall or non-SQL input);
         # cross-validated in tests/ instead.
     }

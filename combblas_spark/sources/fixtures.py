@@ -75,6 +75,7 @@ def edges_df(spark: SparkSession, triples) -> DataFrame:
 
 
 def graph(spark: SparkSession, triples, n_partitions: int = 8, **kw) -> Graph:
+    kw.setdefault("w", "w")  # keep fixture weights (min-plus/prune tests)
     return Graph.from_edge_list(
         edges_df(spark, triples), n_partitions=n_partitions, **kw
     )

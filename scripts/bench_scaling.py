@@ -3,22 +3,24 @@
 
 No real multi-node cluster exists in the sandbox, so the N -> 4N
 executor criterion is evidenced by running the SAME PageRank job on
-the SAME input (seeded R-MAT graph) at two local parallelism levels
-(default local[2] and local[8] = N and 4N cores) in separate JVMs.
+the SAME input (seeded R-MAT graph) at two parallelism levels
+(default 2 and 8 cores = N and 4N) in separate JVMs.
 
-Measurement protocol (the sandbox VM's wall-clock is noisy):
-* per level, REPS fresh-JVM runs, INTERLEAVED (a,b,a,b,...) so host
-  drift hits both levels equally;
-* each run reports steady-state per-superstep throughput (median
-  per-iteration wall after JIT warmup, Graph500-style — construction
-  excluded);
-* the level's throughput is the median across its runs;
-* efficiency = (tput_4N / tput_N) / (4N/N).
+Measurement protocol — the sandbox host's wall-clock drifts by minutes
+-scale windows, so the two levels run **simultaneously, pinned to
+disjoint physical cores** with ``taskset`` (local[2] on cores 0-1,
+local[8] on cores 8-15 by default): host noise hits both measurements
+in the same instant and cancels in the ratio.  Each JVM reports
+steady-state per-superstep throughput (median per-iteration wall after
+JIT warmup; graph construction excluded, Graph500-style).  REPS
+simultaneous rounds, per-level median across rounds.
+
+    efficiency = (tput_4N / tput_N) / (4N/N)
 
 Writes BENCH_SCALING.json at the repo root and prints it.
 
 Env knobs: SCALING_N (2), SCALING_4N (8), SCALING_RMAT_SCALE (20),
-SCALING_ITERS (15), SCALING_REPS (3), SCALING_MEM (48g).
+SCALING_ITERS (15), SCALING_REPS (3), SCALING_MEM (24g).
 """
 
 from __future__ import annotations
@@ -32,8 +34,9 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def run_once(cpus: int, scale: str, iters: str, mem: str) -> dict:
+def start_run(cpus: int, cores: str, scale: str, iters: str, mem: str):
     cmd = [
+        "taskset", "-c", cores,
         sys.executable,
         os.path.join(REPO, "bench.py"),
         "--kernel-only",
@@ -43,9 +46,10 @@ def run_once(cpus: int, scale: str, iters: str, mem: str) -> dict:
         "--fixed-iters", iters,
     ]
     env = dict(os.environ, SPARK_GRAFT_DRIVER_MEM=mem)
-    out = subprocess.run(cmd, capture_output=True, text=True, cwd=REPO, env=env, check=True)
-    line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
-    return json.loads(line)
+    return subprocess.Popen(
+        cmd, stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True,
+        cwd=REPO, env=env,
+    )
 
 
 def main() -> None:
@@ -54,15 +58,23 @@ def main() -> None:
     scale = os.environ.get("SCALING_RMAT_SCALE", "20")
     iters = os.environ.get("SCALING_ITERS", "15")
     reps = int(os.environ.get("SCALING_REPS", "3"))
-    mem = os.environ.get("SCALING_MEM", "48g")
+    mem = os.environ.get("SCALING_MEM", "24g")
+    lo_cores = os.environ.get("SCALING_N_CORES", f"0-{lo - 1}")
+    hi_cores = os.environ.get("SCALING_4N_CORES", f"8-{8 + hi - 1}")
 
     samples: dict[int, list[dict]] = {lo: [], hi: []}
     for r in range(reps):
-        for cpus in (lo, hi):  # interleaved
-            res = run_once(cpus, scale, iters, mem)
+        procs = {
+            lo: start_run(lo, lo_cores, scale, iters, mem),
+            hi: start_run(hi, hi_cores, scale, iters, mem),
+        }
+        for cpus, p in procs.items():
+            out, _ = p.communicate(timeout=3600)
+            line = [l for l in out.strip().splitlines() if l.startswith("{")][-1]
+            res = json.loads(line)
             samples[cpus].append(res)
             print(
-                f"run {r+1}/{reps} local[{cpus}]: "
+                f"round {r+1}/{reps} local[{cpus}]@cores: "
                 f"{res['edges_per_sec_per_iter']:.0f} edges/s/iter "
                 f"(loop {res['value']}s)",
                 file=sys.stderr,
@@ -77,8 +89,10 @@ def main() -> None:
     result = {
         "protocol": (
             f"seeded R-MAT scale {scale} (edgefactor 16), {iters} fixed PageRank "
-            f"iterations, {reps} interleaved fresh-JVM runs per level, steady-state "
-            "median per-superstep throughput, level value = median of runs"
+            f"iterations; the two levels run SIMULTANEOUSLY pinned to disjoint "
+            f"cores (taskset {lo_cores} vs {hi_cores}) so host noise cancels in "
+            f"the ratio; {reps} rounds; steady-state median per-superstep "
+            "throughput per run; level value = median across rounds"
         ),
         "graph_edges": samples[lo][0]["graph_edges"],
         "levels": {

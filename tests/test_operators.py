@@ -1,0 +1,202 @@
+"""Direct unit tests for operators/: ewise, indexing, reduce, spgemm,
+semiring SpMV — golden comparisons against tiny driver-side models
+(the reference's operator-test strategy, ReleaseTests/CMakeLists.txt:49-60)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from combblas_spark.functions.semiring import MIN_PLUS, PLUS_TIMES, SECOND_MIN
+from combblas_spark.graph import Graph
+from combblas_spark.operators import ewise as E
+from combblas_spark.operators import indexing as IX
+from combblas_spark.operators import reduce as R
+from combblas_spark.operators.spgemm import estimate_flops, masked_spgemm, spgemm, spgemm_phased, square
+from combblas_spark.operators.spmv import spmv, spmv_salted
+from combblas_spark.sources import fixtures as FX
+
+A_TRIPLES = [(0, 1, 2.0), (0, 2, 3.0), (1, 2, 4.0), (2, 0, 5.0), (2, 2, 1.0)]
+B_TRIPLES = [(0, 1, 1.0), (1, 2, 2.0), (2, 1, 3.0)]
+
+
+def edges_set(g):
+    return {(r["src"], r["dst"], r["w"]) for r in g.edges.collect()}
+
+
+@pytest.fixture(scope="module")
+def ga(spark):
+    return FX.graph(spark, A_TRIPLES, n_partitions=2)
+
+
+@pytest.fixture(scope="module")
+def gb(spark):
+    return FX.graph(spark, B_TRIPLES, n_partitions=2)
+
+
+# -- ewise ------------------------------------------------------------------
+
+def test_apply_prune(spark, ga):
+    doubled = E.apply(ga, lambda w: w * 2)
+    assert edges_set(doubled) == {(s, d, w * 2) for s, d, w in A_TRIPLES}
+    kept = E.prune(ga, lambda w: w < 3.0)  # REMOVE w<3
+    assert edges_set(kept) == {(s, d, w) for s, d, w in A_TRIPLES if w >= 3.0}
+
+
+def test_ewise_mult_and_exclude(spark, ga, gb):
+    had = E.ewise_mult(ga, gb)
+    assert edges_set(had) == {(0, 1, 2.0 * 1.0), (1, 2, 4.0 * 2.0)}
+    exc = E.ewise_mult(ga, gb, exclude=True)
+    assert edges_set(exc) == {
+        (s, d, w) for s, d, w in A_TRIPLES if (s, d) not in {(0, 1), (1, 2), (2, 1)}
+    }
+    assert edges_set(E.set_difference(ga, gb)) == edges_set(exc)
+
+
+def test_ewise_apply_union(spark, ga, gb):
+    added = E.ewise_apply(ga, gb, lambda x, y: x + y, a_null=0.0, b_null=0.0)
+    want = {}
+    for s, d, w in A_TRIPLES:
+        want[(s, d)] = want.get((s, d), 0.0) + w
+    for s, d, w in B_TRIPLES:
+        want[(s, d)] = want.get((s, d), 0.0) + w
+    assert edges_set(added) == {(s, d, w) for (s, d), w in want.items()}
+
+
+def test_prune_column(spark, ga):
+    thr = spark.createDataFrame([(2, 3.5)], "v long, val double")
+    kept = E.prune_column(ga, thr, keep=lambda w, t: w >= t)
+    # column 2 entries below 3.5 dropped ((0,2,3.0) and (2,2,1.0));
+    # columns without a threshold untouched
+    assert edges_set(kept) == {(0, 1, 2.0), (2, 0, 5.0), (1, 2, 4.0)}
+
+
+def test_vector_ops(spark):
+    x = spark.createDataFrame([(0, 1.0), (1, 2.0), (2, 3.0)], "v long, val double")
+    y = spark.createDataFrame([(1, 10.0), (3, 30.0)], "v long, val double")
+    inter = {(r["v"], r["val"]) for r in E.vec_ewise_apply(x, y, lambda a, b: a + b).collect()}
+    assert inter == {(1, 12.0)}
+    union = {
+        (r["v"], r["val"])
+        for r in E.vec_ewise_apply(
+            x, y, lambda a, b: a + b, how="full_outer", x_null=0.0, y_null=0.0
+        ).collect()
+    }
+    assert union == {(0, 1.0), (1, 12.0), (2, 3.0), (3, 30.0)}
+    assert {r["v"] for r in E.vec_setminus(x, y).collect()} == {0, 2}
+    assert E.vec_count(x, lambda v: v >= 2.0) == 2
+
+
+# -- indexing ---------------------------------------------------------------
+
+def test_subsref_relabels(spark, ga):
+    remap = spark.createDataFrame([(0, 10), (2, 20)], "v long, new_id long")
+    sub = IX.subsref(ga, remap)
+    assert edges_set(sub) == {(10, 20, 3.0), (20, 10, 5.0), (20, 20, 1.0)}
+
+
+def test_spasgn(spark, ga, gb):
+    rows = spark.createDataFrame([(0, 0), (1, 1)], "v long, new_id long")
+    cols = spark.createDataFrame([(1, 1), (2, 2)], "v long, new_id long")
+    out = IX.spasgn(ga, rows, cols, gb)
+    # region rows{0,1}×cols{1,2} cleared ((0,1),(0,2),(1,2) gone), B's
+    # in-region entries written back at their global positions, rows
+    # outside the region untouched; B's (2,1) has no row mapping → dropped
+    assert edges_set(out) == {
+        (2, 0, 5.0), (2, 2, 1.0),  # untouched
+        (0, 1, 1.0), (1, 2, 2.0),  # from B
+    }
+
+
+def test_vec_gather_scatter_invert(spark):
+    vec = spark.createDataFrame([(0, 5.0), (1, 6.0), (2, 7.0)], "v long, val double")
+    idx = spark.createDataFrame([(0, 2), (1, 0)], "v long, idx long")
+    gathered = {(r["v"], r["val"]) for r in IX.vec_subsref(vec, idx).collect()}
+    assert gathered == {(0, 7.0), (1, 5.0)}
+    upd = spark.createDataFrame([(1, 60.0), (1, 50.0)], "v long, val double")
+    assigned = {(r["v"], r["val"]) for r in IX.vec_assign(vec, upd, combine="min").collect()}
+    assert assigned == {(0, 5.0), (1, 50.0), (2, 7.0)}
+    inv = {(r["v"], r["val"]) for r in IX.vec_invert(vec).collect()}
+    assert inv == {(5, 0), (6, 1), (7, 2)}
+
+
+def test_iota_nziota_randperm(spark):
+    assert {(r["v"], r["val"]) for r in IX.iota(spark, 3, 5).collect()} == {
+        (0, 5), (1, 6), (2, 7)
+    }
+    sparse = spark.createDataFrame([(3, 9.0), (7, 1.0)], "v long, val double")
+    assert {(r["v"], r["val"]) for r in IX.nziota(sparse).collect()} == {(3, 0), (7, 1)}
+    p = IX.rand_perm(spark, 10, seed=1)
+    ids = sorted(r["new_id"] for r in p.collect())
+    assert ids == list(range(10))
+
+
+# -- reduce -----------------------------------------------------------------
+
+def test_reduce_and_kselect(spark, ga):
+    colsum = {(r["v"], r["val"]) for r in R.reduce_dim(ga, dim="dst").collect()}
+    assert colsum == {(1, 2.0), (2, 3.0 + 4.0 + 1.0), (0, 5.0)}
+    k2 = {(r["v"], r["kth"]) for r in R.kselect(ga, 2, dim="dst").collect()}
+    assert k2 == {(2, 3.0)}  # column 2 values sorted desc: 4,3,1 → 2nd is 3
+    assert R.bandwidth(ga) == 2
+    hist = {(r["size"], r["n"]) for r in R.histogram(
+        spark.createDataFrame([(0, 9), (1, 9), (2, 8)], "v long, comp long")
+    ).collect()}
+    assert hist == {(1, 1), (2, 1)}
+
+
+# -- spgemm / spmv ----------------------------------------------------------
+
+def _spgemm_py(a, b):
+    out = {}
+    for i, k, x in a:
+        for k2, j, y in b:
+            if k == k2:
+                out[(i, j)] = out.get((i, j), 0.0) + x * y
+    return {(i, j, w) for (i, j), w in out.items()}
+
+
+def test_spgemm_matches_model(spark, ga, gb):
+    assert edges_set(spgemm(ga, gb)) == _spgemm_py(A_TRIPLES, B_TRIPLES)
+    assert edges_set(square(gb)) == _spgemm_py(B_TRIPLES, B_TRIPLES)
+    phased = spgemm_phased(ga, gb, phases=3)
+    assert edges_set(phased) == _spgemm_py(A_TRIPLES, B_TRIPLES)
+    flops = estimate_flops(ga, gb)
+    assert flops == sum(
+        sum(1 for k2, _, _ in B_TRIPLES if k2 == k) for _, k, _ in A_TRIPLES
+    )
+
+
+def test_masked_spgemm(spark, ga):
+    full = _spgemm_py(A_TRIPLES, A_TRIPLES)
+    mask_pat = {(s, d) for s, d, _ in A_TRIPLES}
+    want = {(i, j, w) for i, j, w in full if (i, j) in mask_pat}
+    assert edges_set(masked_spgemm(ga, ga, ga)) == want
+    want_ex = {(i, j, w) for i, j, w in full if (i, j) not in mask_pat}
+    assert edges_set(masked_spgemm(ga, ga, ga, exclude=True)) == want_ex
+
+
+def test_spmv_semirings(spark, ga):
+    x = spark.createDataFrame(
+        [(0, 1.0), (1, 10.0), (2, 100.0)], "v long, val double"
+    )
+    pt = {(r["v"], r["val"]) for r in spmv(ga, x, PLUS_TIMES).collect()}
+    want = {}
+    for s, d, w in A_TRIPLES:
+        want[d] = want.get(d, 0.0) + w * {0: 1.0, 1: 10.0, 2: 100.0}[s]
+    assert pt == {(d, w) for d, w in want.items()}
+    # salted variant must agree exactly for sum
+    ps = {(r["v"], r["val"]) for r in spmv_salted(ga, x, PLUS_TIMES).collect()}
+    assert ps == pt
+    mp = {(r["v"], r["val"]) for r in spmv(ga, x, MIN_PLUS).collect()}
+    wmp = {}
+    for s, d, w in A_TRIPLES:
+        c = w + {0: 1.0, 1: 10.0, 2: 100.0}[s]
+        wmp[d] = min(wmp.get(d, float("inf")), c)
+    assert mp == {(d, w) for d, w in wmp.items()}
+    sm = {(r["v"], r["val"]) for r in spmv(ga, x, SECOND_MIN).collect()}
+    wsm = {}
+    for s, d, _ in A_TRIPLES:
+        v = {0: 1.0, 1: 10.0, 2: 100.0}[s]
+        wsm[d] = min(wsm.get(d, float("inf")), v)
+    assert sm == {(d, w) for d, w in wsm.items()}
