@@ -3,24 +3,25 @@
 
 No real multi-node cluster exists in the sandbox, so the N -> 4N
 executor criterion is evidenced by running the SAME PageRank job on
-the SAME input (seeded R-MAT graph) at two parallelism levels
-(default 2 and 8 cores = N and 4N) in separate JVMs.
+the SAME input (seeded R-MAT graph) at two local parallelism levels
+(default local[2] and local[8] = N and 4N cores) in separate JVMs.
 
-Measurement protocol — the sandbox host's wall-clock drifts by minutes
--scale windows, so the two levels run **simultaneously, pinned to
-disjoint physical cores** with ``taskset`` (local[2] on cores 0-1,
-local[8] on cores 8-15 by default): host noise hits both measurements
-in the same instant and cancels in the ratio.  Each JVM reports
-steady-state per-superstep throughput (median per-iteration wall after
-JIT warmup; graph construction excluded, Graph500-style).  REPS
-simultaneous rounds, per-level median across rounds.
-
-    efficiency = (tput_4N / tput_N) / (4N/N)
+Measurement protocol:
+* runs are SEQUENTIAL and INTERLEAVED (a,b,a,b,...) so slow host drift
+  hits both levels symmetrically.  (A simultaneous-pinned variant was
+  tried and rejected: two JVMs on one box share one memory-bandwidth
+  pie, which misrepresents a real cluster where 4N executors bring 4N
+  nodes' bandwidth.)
+* each run reports steady-state per-superstep throughput — the median
+  per-iteration wall after JIT warmup; graph construction excluded
+  (Graph500-style TEPS accounting, TopDownBFS.cpp:460-464);
+* per-level value = median across its runs;
+* efficiency = (tput_4N / tput_N) / (4N/N).
 
 Writes BENCH_SCALING.json at the repo root and prints it.
 
-Env knobs: SCALING_N (2), SCALING_4N (8), SCALING_RMAT_SCALE (20),
-SCALING_ITERS (15), SCALING_REPS (3), SCALING_MEM (24g).
+Env knobs: SCALING_N (2), SCALING_4N (8), SCALING_RMAT_SCALE (22),
+SCALING_ITERS (10), SCALING_REPS (2), SCALING_MEM (48g).
 """
 
 from __future__ import annotations
@@ -34,9 +35,8 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def start_run(cpus: int, cores: str, scale: str, iters: str, mem: str):
+def run_once(cpus: int, scale: str, iters: str, mem: str) -> dict:
     cmd = [
-        "taskset", "-c", cores,
         sys.executable,
         os.path.join(REPO, "bench.py"),
         "--kernel-only",
@@ -46,38 +46,32 @@ def start_run(cpus: int, cores: str, scale: str, iters: str, mem: str):
         "--fixed-iters", iters,
     ]
     env = dict(os.environ, SPARK_GRAFT_DRIVER_MEM=mem)
-    return subprocess.Popen(
-        cmd, stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True,
-        cwd=REPO, env=env,
+    out = subprocess.run(
+        cmd, capture_output=True, text=True, cwd=REPO, env=env, check=True
     )
+    line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
+    return json.loads(line)
 
 
 def main() -> None:
     lo = int(os.environ.get("SCALING_N", "2"))
     hi = int(os.environ.get("SCALING_4N", "8"))
-    scale = os.environ.get("SCALING_RMAT_SCALE", "20")
-    iters = os.environ.get("SCALING_ITERS", "15")
-    reps = int(os.environ.get("SCALING_REPS", "3"))
-    mem = os.environ.get("SCALING_MEM", "24g")
-    lo_cores = os.environ.get("SCALING_N_CORES", f"0-{lo - 1}")
-    hi_cores = os.environ.get("SCALING_4N_CORES", f"8-{8 + hi - 1}")
+    scale = os.environ.get("SCALING_RMAT_SCALE", "22")
+    iters = os.environ.get("SCALING_ITERS", "10")
+    reps = int(os.environ.get("SCALING_REPS", "2"))
+    mem = os.environ.get("SCALING_MEM", "48g")
 
     samples: dict[int, list[dict]] = {lo: [], hi: []}
     for r in range(reps):
-        procs = {
-            lo: start_run(lo, lo_cores, scale, iters, mem),
-            hi: start_run(hi, hi_cores, scale, iters, mem),
-        }
-        for cpus, p in procs.items():
-            out, _ = p.communicate(timeout=3600)
-            line = [l for l in out.strip().splitlines() if l.startswith("{")][-1]
-            res = json.loads(line)
+        for cpus in (lo, hi):  # interleaved
+            res = run_once(cpus, scale, iters, mem)
             samples[cpus].append(res)
             print(
-                f"round {r+1}/{reps} local[{cpus}]@cores: "
+                f"run {r+1}/{reps} local[{cpus}]: "
                 f"{res['edges_per_sec_per_iter']:.0f} edges/s/iter "
                 f"(loop {res['value']}s)",
                 file=sys.stderr,
+                flush=True,
             )
 
     tput = {
@@ -89,10 +83,9 @@ def main() -> None:
     result = {
         "protocol": (
             f"seeded R-MAT scale {scale} (edgefactor 16), {iters} fixed PageRank "
-            f"iterations; the two levels run SIMULTANEOUSLY pinned to disjoint "
-            f"cores (taskset {lo_cores} vs {hi_cores}) so host noise cancels in "
-            f"the ratio; {reps} rounds; steady-state median per-superstep "
-            "throughput per run; level value = median across rounds"
+            f"iterations, {reps} interleaved fresh-JVM runs per level, steady-state "
+            "median per-superstep throughput (construction excluded), "
+            "level value = median of runs"
         ),
         "graph_edges": samples[lo][0]["graph_edges"],
         "levels": {
