@@ -219,11 +219,14 @@ GROUP BY a.src, b.dst
 """
 )
 
+#: MaskedReduce semantics: the mask restricts which ROW (src) entries
+#: feed the per-column reduction (SpParMat.cpp:1849-2027 masks the
+#: non-reduced dimension).
 MASKED_COLSUMS_SQL = (
     "WITH " + EDGES_CTE.strip()
     + """
 SELECT dst AS v, round(sum(w), 6) AS colsum
-FROM edges WHERE (dst - 1000000) % 2 = 1 GROUP BY dst
+FROM edges WHERE src % 2 = 1 GROUP BY dst
 """
 )
 
@@ -344,8 +347,8 @@ marked AS (
 ),
 sess AS (
   SELECT user_id, ts,
-         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                             ROWS UNBOUNDED PRECEDING) AS session_id
+         CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
   FROM marked
 )
 SELECT user_id, session_id, count(*) AS n_events,
@@ -547,14 +550,16 @@ def q_spgemm(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_masked_colsums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MaskedReduce: column sums fed only by odd-customer rows — the
+    mask indexes the non-reduced (src) dimension per the reference."""
     from combblas_spark.operators.reduce import masked_reduce
-    from combblas_spark.sources.tables import SUPPLIER_OFFSET, load_table
+    from combblas_spark.sources.tables import load_table
 
     g = _graph(spark, sf_dir)
     mask = (
-        load_table(spark, sf_dir, "supplier")
-        .filter(F.col("s_suppkey") % 2 == 1)
-        .select((F.col("s_suppkey") + SUPPLIER_OFFSET).alias("v"))
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") % 2 == 1)
+        .select(F.col("c_custkey").alias("v"))
     )
     out = masked_reduce(g, mask, dim="dst")
     return out.select("v", F.round("val", 6).alias("colsum"))
@@ -623,10 +628,22 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """rows-only gate: multimodal decode/featurize plumbing over the
-    deterministic synthetic media table (stubbed codec)."""
+    deterministic synthetic media table (stubbed codec).
+
+    The array<float> feature column is serialized to a canonical string
+    so the driver's pandas canonicalizer can sort/hash the output."""
     from combblas_spark.pipeline.multimodal import decode_and_featurize, synth_media
 
-    return decode_and_featurize(synth_media(spark, 200, seed=42), feat_dim=8)
+    feats = decode_and_featurize(synth_media(spark, 200, seed=42), feat_dim=8)
+    return feats.select(
+        "media_id",
+        "kind",
+        "decoded_w",
+        "decoded_h",
+        F.concat_ws(
+            ",", F.transform("features", lambda x: F.format_number(x, 4))
+        ).alias("features_csv"),
+    )
 
 
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:

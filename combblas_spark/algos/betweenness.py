@@ -28,10 +28,18 @@ def betweenness_centrality(
     sources: list[int] | None = None,
     symmetrize: bool = True,
     normalize: bool = False,
+    rescale_sampled: bool = False,
 ) -> DataFrame:
     """(v, bc) betweenness from the given source batch (all-sources
     exact BC when ``sources`` covers every vertex; approximate-by-
     sampling otherwise, the standard batched-Brandes trade).
+
+    Convention: with a source subset the default output is the raw
+    partial dependency sum over that batch (what the reference's
+    batched BetwCent accumulates); ``rescale_sampled=True`` multiplies
+    by n_vertices/len(sources) to estimate the full-source value.
+    ``normalize`` always uses the VERTEX count n (undirected factor
+    2/((n-1)(n-2)), directed 1/((n-1)(n-2))), never the sample size.
     """
     e = g.edges.select(SRC, DST).filter(F.col(SRC) != F.col(DST))
     if symmetrize:
@@ -39,8 +47,10 @@ def betweenness_centrality(
     edges = e.distinct().repartition(g.n_partitions, SRC).cache()
     edges.count()
 
+    all_vertices = edges.select(F.col(SRC).alias("v")).distinct()
+    n_vertices = all_vertices.count()
     if sources is None:
-        sources = [r["v"] for r in edges.select(F.col(SRC).alias("v")).distinct().collect()]
+        sources = [r["v"] for r in all_vertices.collect()]
 
     # forward: sp(s, v, depth, sigma)
     frontier = spark.createDataFrame(
@@ -109,7 +119,14 @@ def betweenness_centrality(
     if symmetrize:
         # undirected convention: each path counted twice (there and back)
         bc = bc.select("v", (F.col("bc") / 2.0).alias("bc"))
-    if normalize and len(sources) > 1:
-        n = len(sources)
-        bc = bc.select("v", (F.col("bc") / ((n - 1) * (n - 2))).alias("bc"))
+    if rescale_sampled and len(sources) < n_vertices:
+        # sampled-source estimate: rescale to the full-source expectation
+        bc = bc.select("v", (F.col("bc") * (n_vertices / len(sources))).alias("bc"))
+    if normalize and n_vertices > 2:
+        # normalization is over the VERTEX count, not the sample size;
+        # undirected (already-halved) values use the standard factor
+        # 2/((n-1)(n-2)), directed 1/((n-1)(n-2))
+        n = n_vertices
+        factor = (2.0 if symmetrize else 1.0) / ((n - 1) * (n - 2))
+        bc = bc.select("v", (F.col("bc") * factor).alias("bc"))
     return bc

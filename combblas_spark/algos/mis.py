@@ -25,12 +25,24 @@ def maximal_independent_set(
     spark: SparkSession,
     g: Graph,
     seed: int = 42,
-    max_iter: int = 64,
+    max_iter: int = 256,
 ) -> DataFrame:
     """(v) rows forming a maximal independent set of the symmetrized
     pattern.  Deterministic for a fixed seed: priorities come from a
     seeded hash of the vertex id (counter-based, partitioning-stable),
     ties broken by id.
+
+    Batched superstep: exactly TWO materializing jobs per round — (1)
+    the (v, pri, won) status vector (winner = beats every still-active
+    neighbor's (pri, id)), (2) the next active set (non-winners minus
+    winner neighborhoods); the per-round count rides on the checkpointed
+    result.  Winner slices accumulate lazily (each is a filter over a
+    checkpointed status row set, so the final union has flat lineage).
+
+    ``max_iter`` is a safety bound only; Luby terminates in O(log n)
+    rounds w.h.p.  If it is ever exhausted with vertices still active
+    the function RAISES rather than silently returning a non-maximal
+    set (the docstring's maximality claim is load-bearing for callers).
     """
     e = g.edges.select(SRC, DST).filter(F.col(SRC) != F.col(DST))
     e = e.unionByName(e.select(F.col(DST).alias(SRC), F.col(SRC).alias(DST))).distinct()
@@ -42,44 +54,58 @@ def maximal_independent_set(
         .withColumn("pri", F.xxhash64(F.col("v"), F.lit(seed)))
         .localCheckpoint(eager=True)
     )
-    mis = spark.createDataFrame([], "v long")
+    n_active = active.count()
+    winner_slices: list[DataFrame] = []
 
-    for _ in range(max_iter):
-        if active.isEmpty():
-            break
+    rounds = 0
+    while n_active > 0 and rounds < max_iter:
+        rounds += 1
         # neighborhood-min over still-active edges (Select2ndMin on
-        # priority): winner = vertex beating every active neighbor
-        act_edges = (
-            edges.join(active.select(F.col("v").alias(SRC)), SRC, "left_semi")
-            .join(active.select(F.col("v").alias(DST)), DST, "left_semi")
+        # priority), fused with the winner decision into one status job
+        act_src = active.select(F.col("v").alias(SRC), F.col("pri").alias("_spri"))
+        act_edges = edges.join(act_src, SRC, "inner").join(
+            active.select(F.col("v").alias(DST)), DST, "left_semi"
         )
         nbr_best = (
-            act_edges.join(active.select(F.col("v").alias(SRC), "pri"), SRC)
-            .groupBy(F.col(DST).alias("v"))
-            .agg(F.min(F.struct("pri", F.col(SRC).alias("nv"))).alias("m"))
-            .select("v", F.col("m.pri").alias("npri"), F.col("m.nv").alias("nv"))
+            act_edges.groupBy(F.col(DST).alias("v"))
+            .agg(F.min(F.struct(F.col("_spri").alias("pri"), F.col(SRC).alias("nv"))).alias("m"))
         )
-        winners = (
+        status = (
             active.join(nbr_best, "v", "left")
-            .filter(
-                F.col("npri").isNull()
-                | (F.struct("pri", "v") < F.struct(F.col("npri"), F.col("nv")))
+            .select(
+                "v",
+                "pri",
+                (
+                    F.col("m").isNull()
+                    | (F.struct("pri", "v") < F.col("m"))
+                ).alias("won"),
             )
-            .select("v")
             .localCheckpoint(eager=True)
         )
-        mis = mis.unionByName(winners).localCheckpoint(eager=True)
-        # deactivate winners and their neighbors
+        winners = status.filter(F.col("won")).select("v")
+        winner_slices.append(winners)
+        # deactivate winners and their neighbors in one job
         nbrs = (
             edges.join(winners.withColumnRenamed("v", SRC), SRC, "left_semi")
             .select(F.col(DST).alias("v"))
-            .distinct()
         )
         active = (
-            active.join(winners, "v", "left_anti")
+            status.filter(~F.col("won"))
+            .select("v", "pri")
             .join(nbrs, "v", "left_anti")
             .localCheckpoint(eager=True)
         )
+        n_active = active.count()
+
+    if n_active > 0:
+        raise RuntimeError(
+            f"MIS did not converge within max_iter={max_iter} rounds "
+            f"({n_active} vertices still active); the partial set would "
+            "not be maximal"
+        )
+    mis = spark.createDataFrame([], "v long")
+    for w in winner_slices:
+        mis = mis.unionByName(w)
     return mis
 
 

@@ -66,9 +66,11 @@ def pagerank(
     each iteration's ranks are snapshotted durably and the run is
     resumable (north-rule).  Without it, localCheckpoint cuts lineage.
 
-    Exactly two driver actions per iteration: the rank materialization
-    (checkpoint) and one fused scalar aggregate yielding both the
-    convergence delta and the next iteration's dangling mass.
+    Exactly ONE driver action per iteration on the localCheckpoint
+    path: the new rank vector carries the previous rank as a column, a
+    *lazy* localCheckpoint materializes as a side effect of the fused
+    scalar aggregate (convergence delta + next dangling mass) — there
+    is no separate checkpoint job and no O(n)⋈O(n) delta join.
     """
     # --- static per-vertex state, computed once --------------------------
     # PageRank follows the link pattern: contribution = rank/outdeg per
@@ -129,6 +131,10 @@ def pagerank(
     if checkpointer is not None and checkpointer.latest_iteration() is not None:
         start_iter = checkpointer.latest_iteration() + 1
         ranks = checkpointer.load_latest(spark)
+        if "deg" not in ranks.columns:
+            # snapshot written by the pre-(v, deg, rank) format: re-join
+            # the static degree column instead of failing on F.col("deg")
+            ranks = ranks.join(vd, "v", "inner").select("v", "deg", "rank")
         dangling = float(
             ranks.filter(F.col("deg") == 0).agg(F.sum("rank")).collect()[0][0] or 0.0
         )
@@ -157,46 +163,53 @@ def pagerank(
             .agg(F.sum(F.col("val")).alias("s"))
         )
         base = (1.0 - alpha) / n + alpha * dangling / n
+        # the previous rank rides ALONG in the new row (_prev), so the
+        # per-iteration scalar job is a single-table scan of the fresh
+        # checkpoint — no O(n)⋈O(n) delta join (reference allreduce,
+        # pagerank.cpp:160-201, is likewise a fold over the new vector)
         new_ranks = (
-            vd.join(sums, "v", "left")
+            ranks.select("v", "deg", F.col("rank").alias("_prev"))
+            .join(sums, "v", "left")
             .select(
                 "v",
                 "deg",
                 (F.lit(base) + F.lit(alpha) * F.coalesce(F.col("s"), F.lit(0.0))).alias(
                     "rank"
                 ),
+                "_prev",
             )
         )
         if checkpointer is not None:
-            new_ranks = checkpointer.snapshot(
-                new_ranks, it, metrics={"n": n, "m": m}
+            # durable path: the scalar job reads the re-loaded snapshot
+            # (_prev rides in the snapshot; resume ignores extra columns)
+            snap = checkpointer.snapshot(
+                new_ranks.select("v", "deg", "rank", "_prev"),
+                it,
+                metrics={"n": n, "m": m},
             )
         else:
-            new_ranks = new_ranks.localCheckpoint(eager=True)
+            # ONE driver action: the lazy localCheckpoint materializes as
+            # a side effect of the scalar aggregate below
+            snap = new_ranks.localCheckpoint(eager=False)
         if tol >= 0:
-            # fused scalar job over the two checkpointed vectors:
-            # convergence delta + next dangling mass (the reference's
-            # per-iteration allreduce, pagerank.cpp:160-201)
-            row = (
-                new_ranks.join(ranks.select("v", F.col("rank").alias("_prev")), "v")
-                .agg(
-                    F.max(F.abs(F.col("rank") - F.col("_prev"))).alias("d"),
-                    F.sum(
-                        F.when(F.col("deg") == 0, F.col("rank")).otherwise(F.lit(0.0))
-                    ).alias("dm"),
-                )
-                .collect()[0]
-            )
+            row = snap.agg(
+                F.max(F.abs(F.col("rank") - F.col("_prev"))).alias("d"),
+                F.sum(
+                    F.when(F.col("deg") == 0, F.col("rank")).otherwise(F.lit(0.0))
+                ).alias("dm"),
+            ).collect()[0]
             delta, dangling = float(row["d"]), float(row["dm"] or 0.0)
         else:
             # fixed-iteration mode: no convergence check — dangling mass
-            # is a joinless single-table scan of the new checkpoint
+            # only, still one single-table action
             dangling = float(
-                new_ranks.filter(F.col("deg") == 0)
-                .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dm"))
-                .collect()[0]["dm"]
+                snap.agg(
+                    F.coalesce(
+                        F.sum(F.when(F.col("deg") == 0, F.col("rank"))), F.lit(0.0)
+                    ).alias("dm")
+                ).collect()[0]["dm"]
             )
-        ranks = new_ranks
+        ranks = snap.select("v", "deg", "rank")
         it += 1
         iter_seconds.append(_time.time() - _it_t0)
 

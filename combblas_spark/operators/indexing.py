@@ -10,7 +10,7 @@ from __future__ import annotations
 
 from dataclasses import replace
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..graph import DST, SRC, W, Graph
@@ -111,25 +111,42 @@ def iota(spark: SparkSession, n: int, first: int = 0) -> DataFrame:
     )
 
 
+def _dense_rank_by(df: DataFrame, order_cols: list[str], out_col: str) -> DataFrame:
+    """Distributed global rank assignment: range-partitioned sort +
+    zipWithIndex.  This is the sources/dictionary.py pattern — NO
+    single-partition window (Window.orderBy with no partitionBy moves
+    every row to one task, a 100×-scale serialization point).  The sort
+    total-orders rows across partitions, zipWithIndex then numbers them
+    with one extra count-only job.  Deterministic at any parallelism."""
+    spark = df.sparkSession
+    ordered = df.sort(*order_cols)
+    schema = "v long, " + f"{out_col} long"
+    rdd = ordered.select("v").rdd.map(lambda r: r["v"]).zipWithIndex()
+    return spark.createDataFrame(rdd, schema=schema)
+
+
 def nziota(vec: DataFrame, first: int = 0) -> DataFrame:
     """Rank-numbering of nonzeros in index order (FullyDistSpVec.h:185):
-    val = first + rank_of_v.  Window over global order — used for root
-    renumbering in LabelCC (CC.h:1393)."""
-    win = Window.orderBy("v")
-    return vec.select(
-        "v", (F.row_number().over(win) - 1 + first).alias("val")
-    )
+    val = first + rank_of_v — the LabelCC root renumbering primitive
+    (CC.h:1393).  Distributed sort + zipWithIndex; no global window."""
+    ranked = _dense_rank_by(vec.select("v"), ["v"], "val")
+    if first:
+        ranked = ranked.select("v", (F.col("val") + first).alias("val"))
+    return ranked
 
 
 def rand_perm(spark: SparkSession, n: int, seed: int = 42) -> DataFrame:
     """Distributed random permutation (FullyDistVec::RandPerm,
-    FullyDistVec.cpp:783-880): (v, new_id)."""
-    win = Window.orderBy(F.rand(seed), F.col("v"))
-    return (
-        spark.range(n)
-        .select(F.col("id").alias("v"))
-        .select("v", (F.row_number().over(win) - 1).alias("new_id"))
+    FullyDistVec.cpp:783-880): (v, new_id).
+
+    The shuffle key is a seeded counter-based hash of the id —
+    deterministic and partitioning-independent (``F.rand(seed)`` is
+    NOT: its stream depends on partition layout), then the distributed
+    sort + zipWithIndex assigns dense positions with no global window."""
+    base = spark.range(n).select(
+        F.col("id").alias("v"), F.xxhash64(F.col("id"), F.lit(seed)).alias("_k")
     )
+    return _dense_rank_by(base, ["_k", "v"], "new_id")
 
 
 def permute_symmetric(g: Graph, perm: DataFrame) -> Graph:
@@ -138,14 +155,30 @@ def permute_symmetric(g: Graph, perm: DataFrame) -> Graph:
     return subsref(g, perm)
 
 
-def vec_concatenate(spark: SparkSession, vecs: list[DataFrame], val_col: str = "val") -> DataFrame:
-    """Stack vectors with offset ids (ParFriends.h:75-174)."""
+def vec_concatenate(
+    spark: SparkSession,
+    vecs: list[DataFrame],
+    val_col: str = "val",
+    lengths: list[int] | None = None,
+) -> DataFrame:
+    """Stack vectors with offset ids (ParFriends.h:75-174).
+
+    Offsets come from ``lengths`` when the caller knows them, else from
+    ONE tagged-union counting job — not k sequential ``count()`` driver
+    actions (k round-trips for k vectors)."""
+    if lengths is None:
+        tagged = None
+        for i, v in enumerate(vecs):
+            t = v.select(F.lit(i).alias("_i"))
+            tagged = t if tagged is None else tagged.unionByName(t)
+        counts = {r["_i"]: r["count"] for r in tagged.groupBy("_i").count().collect()}
+        lengths = [int(counts.get(i, 0)) for i in range(len(vecs))]
     out = None
     offset = 0
-    for v in vecs:
+    for v, ln in zip(vecs, lengths):
         shifted = v.select((F.col("v") + offset).alias("v"), F.col(val_col))
         out = shifted if out is None else out.unionByName(shifted)
-        offset += v.count()
+        offset += ln
     return out
 
 

@@ -31,13 +31,15 @@ def masked_reduce(
     g: Graph, mask: DataFrame, dim: str = "dst", agg: Column | None = None,
     exclude: bool = False,
 ) -> DataFrame:
-    """MaskedReduce (SpParMat.cpp:1849-2027): reduce restricted to (or
-    excluding) result indices present in ``mask`` (v) — the mask indexes
-    the reduced dimension, like the reference's sparse mask vector over
-    the output."""
+    """MaskedReduce (SpParMat.cpp:1849-2027): reduce along ``dim`` with
+    the mask restricting which entries FEED the reduction — the mask
+    indexes the *non-reduced* dimension (the reference masks row indices
+    while reducing columns).  ``exclude=True`` flips to the complement
+    (the reference's useExtendedBinOp exclusion path)."""
     key = DST if dim == "dst" else SRC
+    other = SRC if dim == "dst" else DST
     how = "left_anti" if exclude else "left_semi"
-    masked = g.edges.join(mask.select(F.col("v").alias(key)), key, how)
+    masked = g.edges.join(mask.select(F.col("v").alias(other)), other, how)
     return reduce_dim(replace(g, edges=masked), dim=dim, agg=agg)
 
 

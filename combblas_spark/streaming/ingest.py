@@ -58,14 +58,20 @@ def append_to_edge_table(
 
 def incremental_out_degrees(
     stream: DataFrame, checkpoint_dir: str, sink_table: str = "stream_degrees",
-    available_now: bool = True,
+    available_now: bool = True, complete_mode: bool = True,
 ):
-    """Maintain (v, deg) incrementally — stateful streaming aggregation
-    (update mode, in-memory sink for inspection/tests; a real
-    deployment points this at an upsert-capable sink)."""
+    """Maintain (v, deg) as a stateful streaming aggregation.
+
+    ``complete_mode=True`` (default, used by the in-memory test sink,
+    which cannot upsert): every micro-batch rewrites the full aggregate
+    — fine for inspection, NOT incremental at scale.  The scale path is
+    ``complete_mode=False``: ``update`` output mode emits only changed
+    (v, deg) rows per micro-batch; pair it with an upsert-capable sink
+    (foreachBatch MERGE into Iceberg/Delta) so state writes stay
+    O(changed vertices), not O(all vertices)."""
     degs = stream.groupBy(F.col("src").alias("v")).agg(F.count("*").alias("deg"))
     writer = (
-        degs.writeStream.outputMode("complete")
+        degs.writeStream.outputMode("complete" if complete_mode else "update")
         .format("memory")
         .queryName(sink_table)
         .option("checkpointLocation", checkpoint_dir)
