@@ -29,7 +29,7 @@ from pyspark.sql import functions as F
 
 from ..graph import DST, SRC, W, Graph
 from ..operators.spgemm import spgemm
-from ..operators.reduce import topk_per_column
+from ..operators.reduce import mcl_prune_recovery_select
 
 
 @dataclass
@@ -67,6 +67,8 @@ def mcl(
     inflation: float = 2.0,
     prune_below: float = 1e-4,
     select_k: int = 50,
+    recover_num: int = 20,
+    recover_pct: float = 0.9,
     eps: float = 1e-4,
     max_iter: int = 40,
     add_self_loops: bool = True,
@@ -76,6 +78,15 @@ def mcl(
     Follows the reference's prep: symmetrize input interpretation is the
     caller's choice; self-loops are added (MCL.cpp:462-470) so every
     column has support, then columns are made stochastic.
+
+    Pruning runs the full MCLPruneRecoverySelect (ParFriends.h:200-368):
+    hard-threshold prune + per-column top-``select_k``, then *recovery*
+    — columns left with fewer than ``recover_num`` entries get entries
+    back down to their ``recover_pct`` quantile of the pre-prune values
+    (reference defaults 1400/0.9 at HipMCL scale, MCL.cpp:149-150;
+    scaled to ``recover_num=20`` for sandbox-size graphs — the ratio to
+    ``select_k`` is what matters).  Without recovery, low-weight
+    columns prune to near-empty and their vertices detach spuriously.
     """
     a = g
     if add_self_loops:
@@ -88,9 +99,10 @@ def mcl(
     while it < max_iter and chaos > eps:
         # expansion
         a = spgemm(a, a)
-        # prune + select (MCLPruneRecoverySelect's hot path)
-        a = replace(a, edges=a.edges.filter(F.col(W) >= prune_below))
-        a = topk_per_column(a, select_k)
+        # prune + select + recovery (MCLPruneRecoverySelect)
+        a = mcl_prune_recovery_select(
+            a, prune_below, select_k, recover_num, recover_pct
+        )
         # inflation then re-normalize
         a = replace(a, edges=a.edges.withColumn(W, F.pow(F.col(W), inflation)))
         a = _col_stochastic(a)

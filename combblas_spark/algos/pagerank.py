@@ -90,7 +90,7 @@ def pagerank(
     #   hash-partitioned by SRC so the join shuffles only the vector
     #   side; the groupBy(dst) is then the superstep's one exchange
     #   (the SUMMA communication analogue).
-    from ..operators.spmv import BROADCAST_NNZ_CUTOFF
+    from ..operators.spmv import broadcast_nnz_cutoff
 
     # Partition key optimistically assumes the broadcast path (DST);
     # if the vertex vector turns out too big to broadcast, the edges
@@ -117,7 +117,7 @@ def pagerank(
         # SpMSpV-style switch (reference cutoff CC.h:1256): broadcast the
         # vertex vector while it fits; beyond that, co-partitioned shuffle
         # of the small side only.
-        broadcast_contrib = n < BROADCAST_NNZ_CUTOFF
+        broadcast_contrib = n < broadcast_nnz_cutoff(spark)
         if not broadcast_contrib:
             old = edges
             edges = (

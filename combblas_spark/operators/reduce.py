@@ -84,12 +84,16 @@ def mcl_prune_recovery_select(
     win = Window.partitionBy(DST).orderBy(F.col(W).desc(), F.col(SRC).asc())
     ranked = g.edges.withColumn("_rn", F.row_number().over(win))
     kept = ranked.filter((F.col(W) >= hard_threshold) & (F.col("_rn") <= select_k))
-    # columns that fell below recover_num after pruning
-    weak = (
+    # columns that fell below recover_num after pruning — including
+    # columns pruned to EMPTY (they have no kept rows at all, so the
+    # weak set must come from the ORIGINAL column set minus the strong
+    # ones, not from a groupBy of the kept rows)
+    strong = (
         kept.groupBy(DST).agg(F.count("*").alias("_n"))
-        .filter(F.col("_n") < recover_num)
+        .filter(F.col("_n") >= recover_num)
         .select(DST)
     )
+    weak = g.edges.select(DST).distinct().join(strong, DST, "left_anti")
     # per-column recover_pct quantile of the ORIGINAL values
     thresh = (
         g.edges.join(weak, DST, "left_semi")

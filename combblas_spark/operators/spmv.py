@@ -24,13 +24,50 @@ from pyspark.sql import functions as F
 from ..functions.semiring import Semiring, PLUS_TIMES
 from ..graph import SRC, DST, W, Graph
 
-#: vector sizes below this are broadcast (SpMSpV path).  16M entries
-#: ≈ 256 MB of (long, double) pairs — comfortably inside a
-#: cluster-grade executor, and the zero-shuffle superstep it enables
-#: (edges partitioned by dst, groupBy(dst) exchange-free) is worth the
-#: memory: measured 3-4x per-iteration speedup vs the shuffle path.
-#: Beyond it, the co-partitioned shuffle join moves only the vector.
-BROADCAST_NNZ_CUTOFF = 16_000_000
+#: estimated serialized bytes per (long, double) vector row inside a
+#: broadcast hash relation (key + value + open-hash overhead)
+VECTOR_ROW_BYTES = 24
+
+#: default broadcast budget for the SpMSpV vector side.  256 MB is the
+#: conservative cluster-grade choice: well inside a typical executor
+#: heap AND inside Spark's own 8 GB broadcast-table hard cap, with room
+#: for the per-iteration rebuild in iterative kernels.  Override with
+#: ``spark.combblas.broadcast.maxBytes`` per deployment.
+DEFAULT_BROADCAST_MAX_BYTES = 256 << 20
+
+
+def broadcast_nnz_cutoff(spark=None) -> int:
+    """Bytes-estimated broadcast cutoff (in vector entries).
+
+    The reference's SpMSpV/dense switch is a row-count heuristic
+    (CC.h:1256); a fixed row cutoff is memory-blind — the same count
+    can be 100 MB or 10 GB depending on value width — so the cutoff
+    here derives from a byte budget: ``maxBytes / VECTOR_ROW_BYTES``.
+    Config-driven (``spark.combblas.broadcast.maxBytes``) so operators
+    on real clusters tune it to executor memory, not to this sandbox.
+    Below the cutoff the zero-shuffle superstep applies (edges
+    partitioned by dst, broadcast vector, exchange-free groupBy —
+    measured 3-4x per-iteration speedup); above it the co-partitioned
+    shuffle join moves only the vector side (measured at the boundary
+    by scripts/bench_scaling.py --shuffle-path).
+    """
+    max_bytes = DEFAULT_BROADCAST_MAX_BYTES
+    if spark is not None:
+        try:
+            max_bytes = int(
+                spark.conf.get(
+                    "spark.combblas.broadcast.maxBytes",
+                    str(DEFAULT_BROADCAST_MAX_BYTES),
+                )
+            )
+        except Exception:
+            pass
+    return max_bytes // VECTOR_ROW_BYTES
+
+
+#: module-level default (≈11M entries ≈ 256 MB) for call sites without
+#: a session handle
+BROADCAST_NNZ_CUTOFF = DEFAULT_BROADCAST_MAX_BYTES // VECTOR_ROW_BYTES
 
 
 def spmv(

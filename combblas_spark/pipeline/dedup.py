@@ -7,27 +7,27 @@ Scale notes (the point of each design):
   on gram.  Grams appearing in huge numbers of docs are *capped*
   (``max_df``) — the standard trick that keeps the self-join from
   exploding quadratically on stop-grams at corpus scale.
-* MinHash+LSH: Arrow-vectorized numpy signatures; banding turns
-  near-dup search into an equi-join on (band, band_hash) — no all-pairs
-  stage ever materializes.  Candidates are verified with exact Jaccard.
-* SimHash: 64-bit signature; Hamming-≤k retrieval via 4×16-bit block
-  keys (pigeonhole: any pair within distance 3 shares one block).
+* MinHash+LSH: signatures are 100% JVM-side — explode grams, one
+  ``F.xxhash64`` per hash family (seed folded into the hashed string),
+  ``groupBy(doc).agg(min…)`` with map-side partial aggregation; banding
+  turns near-dup search into an equi-join on (band, band_hash) — no
+  all-pairs stage ever materializes.  Candidates are verified with
+  exact Jaccard.
+* SimHash: 64-bit signature, also 100% JVM-side (64 per-bit sums over
+  exploded token hashes); Hamming-≤k retrieval via 4×16-bit block keys
+  (pigeonhole: any pair within distance 3 shares one block).
 
-Only the signature computation is Python (Arrow-batched numpy); every
-join/group stays JVM-side.
+NOTHING here runs Python per row/token — the whole pipeline is Column
+expressions inside whole-stage codegen (the round-1 per-gram
+``hashlib.md5`` UDFs were the one per-row-Python hot path in the repo;
+pytest pins the new signatures byte-exactly via the pure-Python XXH64
+reference in functions/xxh.py).
 """
 
 from __future__ import annotations
 
-import hashlib
-
-import numpy as np
-import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import ArrayType, LongType
-
-MERSENNE = (1 << 61) - 1
 
 
 def exact_duplicates(docs: DataFrame, text_col: str = "text") -> DataFrame:
@@ -100,24 +100,28 @@ def ngram_jaccard_pairs(
 # MinHash + LSH
 # --------------------------------------------------------------------------
 
-def _gram_hashes(text: str, n: int) -> np.ndarray:
-    toks = text.split(" ")
-    grams = {" ".join(toks[i : i + n]) for i in range(max(len(toks) - n + 1, 0))} or {""}
-    return np.fromiter(
-        (
-            int.from_bytes(hashlib.md5(g.encode()).digest()[:8], "little")
-            for g in grams
-        ),
-        dtype=np.uint64,
-        count=len(grams),
+def gram_base_hashes(docs: DataFrame, n: int = 3, text_col: str = "text") -> DataFrame:
+    """(doc_id, gram, _b): distinct word n-grams plus their base
+    ``xxhash64(gram)`` — the shared feed for signature computation and
+    exact-Jaccard verification.  Computing the (string-expression-heavy)
+    gram explosion ONCE and caching it is most of the minhash pipeline
+    cost at corpus scale."""
+    return word_ngrams(docs, n=n, text_col=text_col).withColumn(
+        "_b", F.xxhash64("gram")
     )
 
 
-def _minhash_params(n_hashes: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
-    rng = np.random.RandomState(seed)
-    a = rng.randint(1, MERSENNE, size=n_hashes, dtype=np.int64).astype(np.uint64)
-    b = rng.randint(0, MERSENNE, size=n_hashes, dtype=np.int64).astype(np.uint64)
-    return a, b
+def _family_key(family: int, seed: int) -> int:
+    """Fold (seed, family) into one signed-long literal."""
+    k = (seed * 0x9E3779B97F4A7C15 + family) & ((1 << 64) - 1)
+    return k - (1 << 64) if k >= 1 << 63 else k
+
+
+def _family_hash(base: Column, family: int, seed: int) -> Column:
+    """i-th hash family = chained long-hash xxhash64(key_i, base) — two
+    8-byte XXH64 rounds per (gram, family), no string re-hash,
+    reproducible in pure Python via xxh.spark_xxhash64_longs."""
+    return F.xxhash64(F.lit(_family_key(family, seed)).cast("long"), base)
 
 
 def minhash_signatures(
@@ -126,24 +130,32 @@ def minhash_signatures(
     shingle_n: int = 3,
     seed: int = 42,
     text_col: str = "text",
+    grams: DataFrame | None = None,
 ) -> DataFrame:
-    """(doc_id, sig: array<long>) — (a·g + b) mod p minwise hashes.
+    """(doc_id, sig: array<long>) minwise signatures, fully JVM-side.
 
-    Arrow-batched; inside the batch it is numpy broadcasting
-    (n_hashes × n_grams), no per-row Python beyond the shingle split.
+    One pass over the gram table (pass a cached ``gram_base_hashes``
+    result via ``grams`` to share it with verification): each gram's
+    base hash is mixed per family with two more 8-byte XXH64 rounds,
+    then a single groupBy(doc_id) with ``n_hashes`` min-aggregates
+    (map-side combined — the shuffle carries one n_hashes-wide row per
+    doc per partition, not the grams).  Docs with zero grams (empty
+    text) produce no signature — they cannot near-dup anything.
     """
-    a, b = _minhash_params(n_hashes, seed)
-
-    @F.pandas_udf(ArrayType(LongType()))
-    def sig(texts: pd.Series) -> pd.Series:
-        out = []
-        for t in texts:
-            g = _gram_hashes(t, shingle_n) % MERSENNE
-            hv = (a[:, None] * g[None, :] + b[:, None]) % MERSENNE
-            out.append(hv.min(axis=1).astype(np.int64))
-        return pd.Series(out)
-
-    return docs.select("doc_id", sig(F.col(text_col)).alias("sig"))
+    if grams is None:
+        grams = gram_base_hashes(docs, n=shingle_n, text_col=text_col)
+    mins = [
+        F.min(_family_hash(F.col("_b"), i, seed)).alias(f"_h{i}")
+        for i in range(n_hashes)
+    ]
+    return (
+        grams.groupBy("doc_id")
+        .agg(*mins)
+        .select(
+            "doc_id",
+            F.array(*[F.col(f"_h{i}") for i in range(n_hashes)]).alias("sig"),
+        )
+    )
 
 
 def minhash_lsh_pairs(
@@ -163,7 +175,10 @@ def minhash_lsh_pairs(
     candidates back to exact gram sets (distinct-gram Jaccard).
     """
     r = n_hashes // bands
-    sigs = minhash_signatures(docs, n_hashes, shingle_n, seed).cache()
+    grams = gram_base_hashes(docs, n=shingle_n).cache()
+    sigs = minhash_signatures(
+        docs, n_hashes, shingle_n, seed, grams=grams
+    ).cache()
     band_idx = F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band")
     keys = sigs.select("doc_id", "sig", band_idx).select(
         "doc_id",
@@ -179,7 +194,6 @@ def minhash_lsh_pairs(
         .select("a", "b")
         .distinct()
     )
-    grams = word_ngrams(docs, n=shingle_n)
     gsets = grams.groupBy("doc_id").agg(F.collect_set("gram").alias("gs"))
     ga = gsets.select(F.col("doc_id").alias("a"), F.col("gs").alias("gsa"))
     gb = gsets.select(F.col("doc_id").alias("b"), F.col("gs").alias("gsb"))
@@ -198,11 +212,14 @@ def minhash_lsh_pairs(
 # --------------------------------------------------------------------------
 
 def simhash_py(text: str) -> int:
-    """Pinned scalar SimHash (64-bit, md5 token hashes, unit weights) —
-    the reference implementation the vectorized UDF must match."""
+    """Pinned scalar SimHash (64-bit, Spark-xxhash64 token hashes, unit
+    weights per occurrence) — the pure-Python reference the JVM
+    computation must match byte-exactly (hash oracle: functions/xxh.py)."""
+    from ..functions.xxh import xxh64
+
     acc = [0] * 64
     for tok in text.split(" "):
-        h = int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "little")
+        h = xxh64(tok.encode("utf-8"))
         for i in range(64):
             acc[i] += 1 if (h >> i) & 1 else -1
     v = 0
@@ -213,29 +230,34 @@ def simhash_py(text: str) -> int:
 
 
 def simhash_signatures(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """(doc_id, simhash: long) Arrow-batched signature computation."""
+    """(doc_id, simhash: long), fully JVM-side.
 
-    @F.pandas_udf(LongType())
-    def sh(texts: pd.Series) -> pd.Series:
-        out = np.empty(len(texts), dtype=np.int64)
-        shifts = np.arange(64, dtype=np.uint64)
-        for i, t in enumerate(texts):
-            toks = t.split(" ")
-            hs = np.fromiter(
-                (
-                    int.from_bytes(hashlib.md5(x.encode()).digest()[:8], "little")
-                    for x in toks
-                ),
-                dtype=np.uint64,
-                count=len(toks),
-            )
-            bits = ((hs[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int64)
-            acc = (2 * bits - 1).sum(axis=0)
-            v = sum(1 << int(p) for p in np.nonzero(acc > 0)[0])
-            out[i] = v - (1 << 64) if v >= 1 << 63 else v
-        return pd.Series(out)
-
-    return docs.select("doc_id", sh(F.col(text_col)).alias("simhash"))
+    explode tokens (duplicates kept — unit weight per occurrence) →
+    one xxhash64 per token → groupBy(doc_id) with 64 per-bit ±1 sums
+    (map-side combined) → assemble the signed 64-bit signature from
+    the sign of each accumulator.  Zero Python in the data path.
+    """
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.col(text_col), " ", -1)).alias("tok")
+    ).select("doc_id", F.xxhash64("tok").alias("_h"))
+    bit_sums = [
+        F.sum(
+            F.shiftrightunsigned(F.col("_h"), i).bitwiseAND(F.lit(1)) * 2 - 1
+        ).alias(f"_b{i}")
+        for i in range(64)
+    ]
+    sig = None
+    for i in range(64):
+        bit = F.when(F.col(f"_b{i}") > 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        term = F.shiftleft(bit, i)
+        sig = term if sig is None else sig.bitwiseOR(term)
+    return (
+        toks.groupBy("doc_id")
+        .agg(*bit_sums)
+        .select("doc_id", sig.alias("simhash"))
+    )
 
 
 def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:

@@ -29,6 +29,43 @@ def test_mcl_two_cliques(spark):
     assert got[10] not in (c1 | c2)  # isolate stays its own cluster
 
 
+def test_mcl_prune_recovery_restores_weak_columns(spark):
+    """A column whose values ALL fall below the hard threshold would be
+    pruned empty without recovery (its vertex then detaches spuriously);
+    MCLPruneRecoverySelect brings entries back down to the recover_pct
+    quantile (ParFriends.h:200-368)."""
+    from combblas_spark.graph import Graph
+    from combblas_spark.operators.reduce import mcl_prune_recovery_select
+
+    edges = spark.createDataFrame(
+        [
+            (0, 0, 0.5), (1, 0, 0.5),                     # healthy column
+            (0, 1, 0.004), (1, 1, 0.003), (2, 1, 0.003),  # all-below-threshold
+        ],
+        "src long, dst long, w double",
+    )
+    g = Graph(edges=edges, n_partitions=2)
+    out = mcl_prune_recovery_select(
+        g, hard_threshold=0.01, select_k=5, recover_num=2, recover_pct=0.9
+    )
+    by_col = {}
+    for r in out.edges.collect():
+        by_col.setdefault(r["dst"], set()).add(r["src"])
+    assert by_col[0] == {0, 1}          # healthy column untouched
+    assert 1 in by_col and by_col[1]    # weak column recovered, not emptied
+
+
+def test_mcl_recovery_keeps_clique_clusters(spark):
+    """Wiring recovery into mcl() must not change converged clusters on
+    the clique fixture (recovery only touches weak columns)."""
+    g = FX.graph(spark, FX.TWO_CLIQUES, n_partitions=4)
+    res = mcl(spark, g, inflation=2.0, max_iter=20, recover_num=3)
+    got = {r["v"]: r["cluster"] for r in res.clusters.collect()}
+    assert len({got[v] for v in range(5)}) == 1
+    assert len({got[v] for v in range(5, 10)}) == 1
+    assert got[0] != got[5]
+
+
 def test_mcl_seven_graph_converges(spark):
     g = FX.graph(spark, FX.SEVEN, n_partitions=4).symmetrize()
     res = mcl(spark, g, inflation=2.0, max_iter=30)

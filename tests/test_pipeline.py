@@ -88,6 +88,41 @@ def test_minhash_deterministic(spark, docs):
     assert s1[0] != s1[3]
 
 
+def test_xxh64_reference_matches_spark(spark):
+    from combblas_spark.functions.xxh import spark_xxhash64_str
+
+    vals = ["", "a", "hello world", "x" * 31, "y" * 32, "héllo ünïcode", "long " * 20]
+    df = spark.createDataFrame([(v,) for v in vals], "s string")
+    got = [r[0] for r in df.select(F.xxhash64("s")).collect()]
+    assert got == [spark_xxhash64_str(v) for v in vals]
+
+
+def test_minhash_signature_pinned(spark, docs):
+    """JVM signatures == pure-Python xxh64 reference, byte-exact."""
+    from combblas_spark.functions.xxh import spark_xxhash64_longs, spark_xxhash64_str
+
+    sigs = {
+        r["doc_id"]: list(r["sig"])
+        for r in minhash_signatures(docs, n_hashes=8).collect()
+    }
+
+    def grams(t, n=3):
+        toks = t.split(" ")
+        return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+    from combblas_spark.pipeline.dedup import _family_key
+
+    for doc_id, text in DOCS:
+        want = [
+            min(
+                spark_xxhash64_longs(_family_key(i, 42), spark_xxhash64_str(g))
+                for g in grams(text)
+            )
+            for i in range(8)
+        ]
+        assert sigs[doc_id] == want, doc_id
+
+
 def test_simhash_matches_reference(spark, docs):
     got = {r["doc_id"]: r["simhash"] for r in simhash_signatures(docs).collect()}
     for doc_id, text in DOCS:
