@@ -531,6 +531,16 @@ def q_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bfs(spark, _graph(spark, sf_dir), source=BFS_SRC, max_iter=BFS_LEVELS)
 
 
+def q_dobfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Direction-optimizing BFS (DirOptBFS.cpp:364-440) — must agree
+    with the top-down oracle exactly (cross-path consistency)."""
+    from combblas_spark.algos.bfs import bfs_dir_opt
+
+    return bfs_dir_opt(
+        spark, _graph(spark, sf_dir), source=BFS_SRC, max_iter=BFS_LEVELS
+    )
+
+
 def q_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
     from combblas_spark.algos.sssp import sssp_rounds
 
@@ -711,6 +721,28 @@ def q_mis(spark: SparkSession, sf_dir: str) -> DataFrame:
     return maximal_independent_set(spark, _graph(spark, sf_dir), seed=42)
 
 
+def q_mtx_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ParallelWriteMM / ParallelReadMM coverage (SpParMat.cpp:3987,
+    4127): the link graph round-trips through the sharded MatrixMarket
+    writer + distributed reader, then reduces to out-degrees — the
+    oracle row set matches iff the round-trip is lossless."""
+    import hashlib
+    import os
+    import tempfile
+
+    from combblas_spark.sources.matrixmarket import (
+        read_matrix_market,
+        write_matrix_market,
+    )
+
+    g = _graph(spark, sf_dir)
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = os.path.join(tempfile.gettempdir(), f"combblas-mtx-{tag}")
+    write_matrix_market(g, path, gathered=False)
+    mm = read_matrix_market(spark, path)
+    return mm.graph.out_degrees()
+
+
 def q_webgraph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """rows-only gate: the full north-star ingest path — synthetic
     Common-Crawl-style pages → Arrow-UDF text/link extraction → url→id
@@ -749,6 +781,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "text_stats": q_text_stats,
         "bfs4": q_bfs,
+        "dobfs4": q_dobfs,
         "sssp4": q_sssp,
         "spgemm_rows": q_spgemm,
         "masked_colsums": q_masked_colsums,
@@ -761,6 +794,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh": q_minhash_lsh,
         "simhash64": q_simhash,
         "media_features": q_media_features,
+        "mtx_degrees": q_mtx_degrees,
         "webgraph_pagerank": q_webgraph_pagerank,
         "sessionize": q_sessionize,
         "moving_avg7": q_moving_avg,
@@ -781,6 +815,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": DEDUP_EXACT_SQL,
         "text_stats": TEXT_STATS_SQL,
         "bfs4": _bfs_sql(BFS_LEVELS, BFS_SRC),
+        "dobfs4": _bfs_sql(BFS_LEVELS, BFS_SRC),
         "sssp4": _sssp_sql(SSSP_ROUNDS, BFS_SRC),
         "spgemm_rows": SPGEMM_SQL,
         "masked_colsums": MASKED_COLSUMS_SQL,
@@ -790,6 +825,7 @@ def oracle_sql() -> dict[str, str]:
         "fingerprint": FINGERPRINT_SQL,
         "token_stats": TOKEN_STATS_SQL,
         "cosine_topk5": COSINE_TOPK_SQL,
+        "mtx_degrees": DEGREES_SQL,
         "sessionize": SESSIONIZE_SQL,
         "moving_avg7": MOVING_AVG_SQL,
         "cc_hist": _cc_hist_sql(CC_ROUNDS),

@@ -68,3 +68,105 @@ def bfs(
         parents = parents.unionByName(new).localCheckpoint(eager=True)
         frontier = new.select("v")
     return parents
+
+
+def bfs_dir_opt(
+    spark: SparkSession,
+    g: Graph,
+    source: int,
+    symmetrize: bool = True,
+    max_iter: int = 10_000,
+) -> DataFrame:
+    """Direction-optimizing BFS (DirOptBFS.cpp:364-440).
+
+    Same (v, parent, level) result as ``bfs`` (parent = max eligible
+    predecessor, so the two paths are cross-checkable — the reference's
+    own consistency methodology, MultTest.cpp:146-200), but the
+    physical per-level plan switches direction:
+
+    * **top-down** — probe FROM the frontier: broadcast the (small)
+      frontier into the edge scan; cost ∝ frontier out-edges.
+    * **bottom-up** — probe INTO the unvisited side: edges are pruned
+      by dst-not-yet-visited (anti-join) BEFORE meeting the frontier,
+      and the (huge) frontier rides a shuffle join instead of a
+      broadcast; cost ∝ unvisited in-edges.  On hub-heavy web graphs
+      this is the difference between touching the frontier's entire
+      fan-out and touching each undiscovered vertex once.
+
+    Switch rule = the reference's cutoffs (DirOptBFS.cpp:363-365,
+    388, 409): go bottom-up while scout_count (frontier out-edge sum)
+    > m/20 and the frontier is growing; return top-down when
+    fringe_size < n²/(12m) and shrinking.
+    """
+    e = g.edges.select(SRC, DST)
+    if symmetrize:
+        e = e.unionByName(e.select(F.col(DST).alias(SRC), F.col(SRC).alias(DST)))
+        e = e.distinct()
+    edges = e.repartition(g.n_partitions, SRC).cache()
+    m = edges.count()
+    deg = (
+        edges.groupBy(F.col(SRC).alias("v"))
+        .agg(F.count("*").alias("deg"))
+        .repartition(g.n_partitions, "v")
+        .cache()
+    )
+    n = deg.count()
+    up_cutoff = m / 20.0
+    down_cutoff = (float(n) * float(n)) / (float(m) * 12.0)
+
+    parents = spark.createDataFrame(
+        [(source, source, 0)], schema="v long, parent long, level int"
+    )
+    frontier = parents.select("v")
+    frontier_size, last_size = 1, 0
+    bottom_up = False
+
+    level = 0
+    while frontier_size > 0 and level < max_iter:
+        level += 1
+        if not bottom_up:
+            scout = (
+                frontier.join(deg, "v", "inner")
+                .agg(F.coalesce(F.sum("deg"), F.lit(0)).alias("s"))
+                .collect()[0]["s"]
+            )
+            if scout > up_cutoff and last_size < frontier_size:
+                bottom_up = True
+        elif frontier_size < down_cutoff and last_size > frontier_size:
+            bottom_up = False
+
+        if bottom_up:
+            # prune edges to unvisited destinations FIRST, then a
+            # shuffle join against the (large) frontier — no broadcast
+            unvisited_edges = edges.join(
+                parents.select(F.col("v").alias(DST)), DST, "left_anti"
+            )
+            fr = frontier.select(F.col("v").alias(SRC))
+            new = (
+                unvisited_edges.join(fr, SRC, "left_semi")
+                .groupBy(F.col(DST).alias("v"))
+                .agg(F.max(SRC).alias("parent"))
+                .withColumn("level", F.lit(level))
+            )
+        else:
+            fr = (
+                F.broadcast(frontier)
+                if frontier_size < BROADCAST_NNZ_CUTOFF
+                else frontier
+            )
+            cand = (
+                edges.join(fr, edges[SRC] == fr["v"], "inner")
+                .groupBy(F.col(DST).alias("v"))
+                .agg(F.max(SRC).alias("parent"))
+            )
+            new = cand.join(parents.select("v"), "v", "left_anti").withColumn(
+                "level", F.lit(level)
+            )
+        new = new.localCheckpoint(eager=True)
+        last_size = frontier_size
+        frontier_size = new.count()
+        if frontier_size == 0:
+            break
+        parents = parents.unionByName(new).localCheckpoint(eager=True)
+        frontier = new.select("v")
+    return parents

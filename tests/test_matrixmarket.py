@@ -1,0 +1,109 @@
+"""MatrixMarket / text edge-list I/O tests (ParallelReadMM /
+ParallelWriteMM / SaveGathered / ReadGeneralizedTuples parity).
+
+The reference's own test inputs are loaded FROM DISK and checked
+against the in-repo transcriptions (sources/fixtures.py) — the same
+fixtures every ReleaseTest consumes (CC.cpp:142 ParallelReadMM)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from combblas_spark.sources import fixtures as FX
+from combblas_spark.sources.matrixmarket import (
+    read_labeled_edge_list,
+    read_matrix_market,
+    read_vector,
+    write_matrix_market,
+    write_vector,
+)
+
+REF = "/root/reference/ReleaseTests"
+
+
+def edges_set(g):
+    return {(r["src"], r["dst"], r["w"]) for r in g.edges.collect()}
+
+
+@pytest.mark.skipif(not os.path.isdir(REF), reason="reference not mounted")
+def test_read_small_nonsym_headerless(spark):
+    """small_nonsym.mtx has no %%MatrixMarket banner — dims line first."""
+    mm = read_matrix_market(spark, f"{REF}/small_nonsym.mtx", n_partitions=4)
+    assert (mm.nrows, mm.ncols, mm.nnz) == (9, 9, 19)
+    assert not mm.symmetric
+    assert edges_set(mm.graph) == set(FX.NINE)
+
+
+@pytest.mark.skipif(not os.path.isdir(REF), reason="reference not mounted")
+def test_read_sevenvertex_mtx(spark):
+    mm = read_matrix_market(spark, f"{REF}/sevenvertex.mtx", n_partitions=4)
+    assert (mm.nrows, mm.ncols, mm.nnz) == (7, 7, 12)
+    got = edges_set(mm.graph)
+    assert len(got) == 12
+    # same weight multiset as the labeled-text form of the same graph
+    assert sorted(w for _, _, w in got) == sorted(w for _, _, w in FX.SEVEN)
+
+
+@pytest.mark.skipif(not os.path.isdir(REF), reason="reference not mounted")
+def test_read_labeled_edge_list_matches_fixture(spark):
+    """sevenvertexgraph.txt via the distributed dictionary == the
+    transcribed SEVEN fixture (vertex_k sorts to id k-1)."""
+    g, d = read_labeled_edge_list(spark, f"{REF}/sevenvertexgraph.txt")
+    labels = {r["label"]: r["id"] for r in d.collect()}
+    assert labels == {f"vertex_{k}": k - 1 for k in range(1, 8)}
+    assert edges_set(g) == set(FX.SEVEN)
+
+
+@pytest.mark.parametrize("gathered", [True, False])
+def test_matrix_market_roundtrip(spark, tmp_path, gathered):
+    g = FX.graph(spark, FX.SEVEN, n_partitions=4)
+    path = str(tmp_path / ("gathered" if gathered else "sharded"))
+    write_matrix_market(g, path, gathered=gathered, comment="roundtrip test")
+    mm = read_matrix_market(spark, path, n_partitions=4)
+    assert edges_set(mm.graph) == set(FX.SEVEN)
+    assert (mm.nrows, mm.ncols, mm.nnz) == (7, 7, 12)
+
+
+def test_symmetric_mtx_mirrors(spark, tmp_path):
+    p = tmp_path / "sym.mtx"
+    p.write_text(
+        "%%MatrixMarket matrix coordinate real symmetric\n"
+        "% lower triangle only\n"
+        "3 3 3\n"
+        "2 1 5.0\n"
+        "3 1 6.0\n"
+        "2 2 7.0\n"
+    )
+    mm = read_matrix_market(spark, str(p), n_partitions=2)
+    assert mm.symmetric
+    assert edges_set(mm.graph) == {
+        (1, 0, 5.0), (0, 1, 5.0), (2, 0, 6.0), (0, 2, 6.0), (1, 1, 7.0),
+    }
+
+
+def test_pattern_mtx_unit_weights(spark, tmp_path):
+    p = tmp_path / "pat.mtx"
+    p.write_text(
+        "%%MatrixMarket matrix coordinate pattern general\n"
+        "2 2 2\n"
+        "1 2\n"
+        "2 1\n"
+    )
+    mm = read_matrix_market(spark, str(p), n_partitions=2)
+    assert mm.pattern
+    assert edges_set(mm.graph) == {(0, 1, 1.0), (1, 0, 1.0)}
+
+
+def test_vector_roundtrip(spark, tmp_path):
+    vec = spark.createDataFrame(
+        [(0, 1.5), (3, -2.0), (7, 0.25)], "v long, val double"
+    )
+    path = str(tmp_path / "vec")
+    write_vector(vec, path, gathered=True)
+    back = read_vector(spark, path)
+    assert {(r["v"], r["val"]) for r in back.collect()} == {
+        (0, 1.5), (3, -2.0), (7, 0.25)
+    }

@@ -102,3 +102,30 @@ def test_bfs_levels_and_parent_validity(spark, name, triples, src):
         else:
             assert got_levels[r["parent"]] == r["level"] - 1
             assert (r["parent"], r["v"]) in adj
+
+
+def test_dir_opt_bfs_matches_top_down(spark):
+    """Cross-path consistency (the reference's own methodology,
+    MultTest.cpp:146-200): direction-optimizing BFS must produce the
+    exact same (v, parent, level) set as top-down.  The R-MAT graph is
+    dense enough that the bottom-up branch actually fires (frontier
+    out-edges > m/20 by level 2)."""
+    from combblas_spark.algos.bfs import bfs_dir_opt
+    from combblas_spark.sources.generators import rmat_graph
+
+    g = rmat_graph(spark, scale=9, edge_factor=8, seed=7, n_partitions=8)
+    src = int(g.edges.agg({"src": "min"}).collect()[0][0])
+    td = {(r["v"], r["parent"], r["level"]) for r in bfs(spark, g, src).collect()}
+    do = {(r["v"], r["parent"], r["level"]) for r in bfs_dir_opt(spark, g, src).collect()}
+    assert td == do
+
+
+def test_dir_opt_bfs_clique_bottom_up_branch(spark):
+    """On a clique every level-1 frontier exceeds m/20 — the bottom-up
+    branch runs and must still give single-hop levels."""
+    from combblas_spark.algos.bfs import bfs_dir_opt
+
+    g = FX.graph(spark, FX.TWO_CLIQUES, n_partitions=4).remove_loops()
+    rows = bfs_dir_opt(spark, g, 0).collect()
+    levels = {r["v"]: r["level"] for r in rows}
+    assert levels == {0: 0, 1: 1, 2: 1, 3: 1, 4: 1}
