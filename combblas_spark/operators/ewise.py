@@ -118,6 +118,46 @@ def set_difference(a: Graph, b: Graph) -> Graph:
     return ewise_mult(a, b, exclude=True)
 
 
+def dense_matrix(
+    spark, n_rows: int, n_cols: int, value: float = 0.0
+) -> DataFrame:
+    """DenseParMat analogue: a fully-populated (i, j, val) DataFrame
+    (include/CombBLAS/DenseParMat.h).  Materialized as a cross of two
+    ranges — at scale a dense matrix is better carried as a formula or
+    a per-row array column, but the (i,j,val) form keeps every ewise
+    op below join-compatible."""
+    rows = spark.range(n_rows).select(F.col("id").alias("i"))
+    cols = spark.range(n_cols).select(F.col("id").alias("j"))
+    return rows.crossJoin(cols).select("i", "j", F.lit(float(value)).alias("val"))
+
+
+def ewise_scale(
+    g: Graph,
+    dense: DataFrame,
+    op: Callable[[Column, Column], Column] = lambda w, d: w * d,
+) -> Graph:
+    """EWiseScale(DenseParMat) (SpParMat.cpp:2824-2884): scale each
+    nonzero A(i,j) by the dense matrix element D(i,j).
+
+    ``dense``: (i, j, val).  Entries of A with no matching dense cell
+    keep their value (the reference requires conformant shapes, so
+    this only matters for sub-shaped dense inputs)."""
+    d = dense.select(
+        F.col("i").alias(SRC), F.col("j").alias(DST), F.col("val").alias("_dv")
+    )
+    scaled = (
+        g.edges.join(d, [SRC, DST], "left")
+        .select(
+            SRC,
+            DST,
+            F.when(F.col("_dv").isNull(), F.col(W))
+            .otherwise(op(F.col(W), F.col("_dv")))
+            .alias(W),
+        )
+    )
+    return replace(g, edges=scaled)
+
+
 # -- vector ops -------------------------------------------------------------
 
 def vec_apply(vec: DataFrame, unop, val_col: str = "val") -> DataFrame:
@@ -156,6 +196,45 @@ def vec_setminus(x: DataFrame, y: DataFrame) -> DataFrame:
 def vec_find(vec: DataFrame, pred, val_col: str = "val") -> DataFrame:
     """Find(pred) (FullyDistVec.h:203-216)."""
     return vec.filter(pred(F.col(val_col)))
+
+
+def vec_select(
+    x: DataFrame, companion: DataFrame, pred, val_col: str = "val"
+) -> DataFrame:
+    """FullyDistSpVec::Select (FullyDistSpVec.h:96-103): keep sparse
+    entries of ``x`` whose index has a companion (dense) value
+    satisfying ``pred``.  ``companion``: (v, val)."""
+    c = companion.select("v", F.col(val_col).alias("_cv"))
+    return (
+        x.join(c, "v", "inner")
+        .filter(pred(F.col("_cv")))
+        .select("v", val_col)
+    )
+
+
+def vec_select_apply(
+    x: DataFrame, companion: DataFrame, pred, binop, val_col: str = "val"
+) -> DataFrame:
+    """SelectApply (FullyDistSpVec.h:104-111): like ``vec_select`` but
+    the kept entries are rewritten as binop(x_val, companion_val)."""
+    c = companion.select("v", F.col(val_col).alias("_cv"))
+    return (
+        x.join(c, "v", "inner")
+        .filter(pred(F.col("_cv")))
+        .select("v", binop(F.col(val_col), F.col("_cv")).alias(val_col))
+    )
+
+
+def vec_filter_by_val(
+    x: DataFrame, selector: DataFrame, keep_present: bool = True,
+    val_col: str = "val",
+) -> DataFrame:
+    """FilterByVal (FullyDistSpVec.cpp:2454-2590): keep x entries whose
+    VALUE appears as a value of the selector vector (or doesn't, with
+    ``keep_present=False``)."""
+    sel = selector.select(F.col(val_col).alias("_sv")).distinct()
+    how = "left_semi" if keep_present else "left_anti"
+    return x.join(sel, x[val_col] == sel["_sv"], how)
 
 
 def vec_count(vec: DataFrame, pred, val_col: str = "val") -> int:

@@ -191,3 +191,56 @@ def set_element(vec: DataFrame, v: int, val, spark: SparkSession, val_col: str =
 def get_element(vec: DataFrame, v: int, val_col: str = "val"):
     rows = vec.filter(F.col("v") == v).select(val_col).collect()
     return rows[0][0] if rows else None
+
+
+def del_element(vec: DataFrame, v: int) -> DataFrame:
+    """DelElement (FullyDistSpVec.h:189): drop the entry at index v."""
+    return vec.filter(F.col("v") != v)
+
+
+def vec_sort(vec: DataFrame, val_col: str = "val", ascending: bool = True):
+    """sort(): sort a vector by value and RETURN THE PERMUTATION
+    (FullyDistVec::sort, FullyDistVec.cpp:746-782 — the psort-based
+    sample sort whose output is the reorder map, reusable across later
+    subsref/permute calls).
+
+    Returns (sorted_vec, perm): ``sorted_vec`` is (v=rank, val) with
+    ranks dense 0..n-1 in value order (ties by original index, so the
+    permutation is deterministic); ``perm`` is (v=original_index,
+    new_id=rank) ready for ``subsref``/``permute_symmetric``.
+    Distributed range-partitioned sort + zipWithIndex — no global
+    window."""
+    spark = vec.sparkSession
+    key = F.col(val_col) if ascending else F.col(val_col).desc()
+    ordered = vec.sort(key, "v")
+    rdd = ordered.select("v", val_col).rdd.map(tuple).zipWithIndex()
+    flat = rdd.map(lambda t: (t[0][0], t[0][1], t[1]))
+    val_type = dict(vec.dtypes)[val_col]
+    both = spark.createDataFrame(
+        flat, schema=f"orig long, {val_col} {val_type}, rank long"
+    )
+    sorted_vec = both.select(F.col("rank").alias("v"), F.col(val_col))
+    perm = both.select(F.col("orig").alias("v"), F.col("rank").alias("new_id"))
+    return sorted_vec, perm
+
+
+def induced_subgraphs(g: Graph, labels: DataFrame, label_col: str = "comp") -> DataFrame:
+    """InducedSubgraphs (SpParMat.h:108; ReleaseTests/
+    InducedSubgraphsTest.cpp): partition the graph into per-label
+    induced subgraphs — edges whose BOTH endpoints carry the same
+    label, tagged with it.
+
+    Returns (label, src, dst, w) hash-distributed BY LABEL, so each
+    subgraph's edges are co-located for whatever per-component
+    processing follows (the Spark analogue of the reference's
+    per-process subgraph assignment).  Common post-CC step: feed each
+    component to a local algorithm."""
+    ls = labels.select(F.col("v").alias(SRC), F.col(label_col).alias("_ls"))
+    ld = labels.select(F.col("v").alias(DST), F.col(label_col).alias("_ld"))
+    tagged = (
+        g.edges.join(ls, SRC, "inner")
+        .join(ld, DST, "inner")
+        .filter(F.col("_ls") == F.col("_ld"))
+        .select(F.col("_ls").alias(label_col), SRC, DST, W)
+    )
+    return tagged.repartition(g.n_partitions, label_col)

@@ -141,6 +141,29 @@ def bandwidth(g: Graph) -> int:
     return int(row["b"] or 0)
 
 
+def profile(g: Graph, n_cols: int | None = None) -> int:
+    """Matrix profile (SpParMat::Profile, SpParMat.cpp:1786-1860):
+    Σ over columns j of (j − first upper-diagonal row in column j);
+    columns with no upper-diagonal entry count 1 (the reference's
+    empty-column convention).  One aggregate job."""
+    if n_cols is None:
+        mx = g.edges.agg(
+            F.greatest(F.max(SRC), F.max(DST)).alias("m")
+        ).collect()[0]["m"]
+        n_cols = int(mx or -1) + 1
+    row = (
+        g.edges.filter(F.col(SRC) <= F.col(DST))
+        .groupBy(DST)
+        .agg(F.min(SRC).alias("_first"))
+        .agg(
+            F.coalesce(F.sum(F.col(DST) - F.col("_first")), F.lit(0)).alias("s"),
+            F.count("*").alias("c"),
+        )
+        .collect()[0]
+    )
+    return int(row["s"]) + (n_cols - int(row["c"]))
+
+
 def load_imbalance(g: Graph) -> float:
     """max/avg partition nnz ratio (SpParMat.h:99) — a metrics probe for
     the partitioning strategy."""

@@ -76,22 +76,48 @@ def masked_spgemm(
     return replace(a, edges=ce)
 
 
+#: rough serialized bytes of one (long, long, double) intermediate row
+#: inside the shuffle (used by the phase estimator)
+INTERMEDIATE_ROW_BYTES = 40
+
+
+def calculate_phases(
+    a: Graph,
+    b: Graph,
+    per_phase_budget_bytes: int = 4 << 30,
+    max_phases: int = 256,
+) -> int:
+    """CalculateNumberOfPhases (ParFriends.h:791-858): pick the column-
+    batch count so each phase's multiply intermediate fits the memory
+    budget.  Estimated intermediate size = FLOP count × row bytes
+    (EstimateFLOP's symbolic pass); phases = ceil(size / budget).
+    Spark spills rather than OOMs, so this is a knob for shuffle-spill
+    avoidance and checkpoint cadence, not a hard correctness bound."""
+    flops = estimate_flops(a, b)
+    est_bytes = flops * INTERMEDIATE_ROW_BYTES
+    return max(1, min(max_phases, -(-est_bytes // per_phase_budget_bytes)))
+
+
 def spgemm_phased(
     a: Graph,
     b: Graph,
     semiring: Semiring = PLUS_TIMES,
-    phases: int = 4,
+    phases: int | None = 4,
     prune_below: float | None = None,
     select_k: int | None = None,
 ) -> Graph:
     """MemEfficientSpGEMM: B in ``phases`` column buckets
     (filter(pmod(dst, phases)==i)), per-phase prune/select, union.
 
-    Per-phase top-k is safe because every output column lives entirely
-    within one phase (bucketing is on B.dst = C.dst).
+    ``phases=None`` auto-sizes via ``calculate_phases`` (the
+    reference's memory-budget estimator, wired rather than caller-
+    guessed).  Per-phase top-k is safe because every output column
+    lives entirely within one phase (bucketing is on B.dst = C.dst).
     """
     from .reduce import topk_per_column
 
+    if phases is None:
+        phases = calculate_phases(a, b)
     outs = []
     for p in range(phases):
         bp = replace(b, edges=b.edges.filter(F.pmod(F.col(DST), F.lit(phases)) == p))

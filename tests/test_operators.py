@@ -200,3 +200,85 @@ def test_spmv_semirings(spark, ga):
         v = {0: 1.0, 1: 10.0, 2: 100.0}[s]
         wsm[d] = min(wsm.get(d, float("inf")), v)
     assert sm == {(d, w) for d, w in wsm.items()}
+
+
+# -- round-2 operator additions ---------------------------------------------
+
+def test_ewise_scale_dense(spark, ga):
+    dense = E.dense_matrix(spark, 3, 3, 2.0)
+    scaled = E.ewise_scale(ga, dense)
+    assert edges_set(scaled) == {(s, d, w * 2.0) for s, d, w in A_TRIPLES}
+
+
+def test_vec_select_and_select_apply(spark):
+    x = spark.createDataFrame([(0, 10.0), (1, 20.0), (2, 30.0)], "v long, val double")
+    comp = spark.createDataFrame([(0, 1.0), (1, -1.0), (2, 5.0)], "v long, val double")
+    sel = {(r["v"], r["val"]) for r in E.vec_select(x, comp, lambda c: c > 0).collect()}
+    assert sel == {(0, 10.0), (2, 30.0)}
+    sa = {
+        (r["v"], r["val"])
+        for r in E.vec_select_apply(x, comp, lambda c: c > 0, lambda xv, cv: xv + cv).collect()
+    }
+    assert sa == {(0, 11.0), (2, 35.0)}
+    selector = spark.createDataFrame([(9, 10.0), (8, 30.0)], "v long, val double")
+    fb = {(r["v"], r["val"]) for r in E.vec_filter_by_val(x, selector).collect()}
+    assert fb == {(0, 10.0), (2, 30.0)}
+    fbn = {(r["v"], r["val"]) for r in E.vec_filter_by_val(x, selector, keep_present=False).collect()}
+    assert fbn == {(1, 20.0)}
+
+
+def test_vec_sort_returns_permutation(spark):
+    vec = spark.createDataFrame(
+        [(0, 3.0), (1, 1.0), (2, 2.0), (3, 1.0)], "v long, val double"
+    )
+    sorted_vec, perm = IX.vec_sort(vec)
+    sv = {(r["v"], r["val"]) for r in sorted_vec.collect()}
+    assert sv == {(0, 1.0), (1, 1.0), (2, 2.0), (3, 3.0)}
+    p = {r["v"]: r["new_id"] for r in perm.collect()}
+    # ties broken by original index: v=1 before v=3
+    assert p == {1: 0, 3: 1, 2: 2, 0: 3}
+    # applying the permutation reproduces the sorted vector
+    gathered = {
+        (r["new_id"], r["val"])
+        for r in vec.join(perm, "v").select("new_id", "val").collect()
+    }
+    assert gathered == sv
+
+
+def test_del_element(spark):
+    vec = spark.createDataFrame([(0, 1.0), (1, 2.0)], "v long, val double")
+    assert {r["v"] for r in IX.del_element(vec, 1).collect()} == {0}
+
+
+def test_induced_subgraphs(spark):
+    g = FX.graph(spark, FX.TWO_CLIQUES, n_partitions=4).remove_loops()
+    labels = spark.createDataFrame(
+        [(v, 0 if v < 5 else 1) for v in range(10)], "v long, comp long"
+    )
+    sub = IX.induced_subgraphs(g, labels)
+    by_label = {}
+    for r in sub.collect():
+        by_label.setdefault(r["comp"], set()).add((r["src"], r["dst"]))
+    assert len(by_label[0]) == 20 and len(by_label[1]) == 20  # K5 directed pairs
+    assert all(s < 5 and d < 5 for s, d in by_label[0])
+    assert all(s >= 5 and d >= 5 for s, d in by_label[1])
+
+
+def test_profile_metric(spark):
+    # upper-diag entries: col1 first row 0 -> 1; col2 first row 0 -> 2;
+    # col0 has no upper-diag entry -> +1 (empty-column convention)
+    g = FX.graph(spark, A_TRIPLES, n_partitions=2)
+    assert R.profile(g) == (1 - 0) + (2 - 0) + 1
+
+
+def test_calculate_phases_auto(spark, ga):
+    from combblas_spark.operators.spgemm import calculate_phases
+
+    # tiny graph -> 1 phase under any realistic budget
+    assert calculate_phases(ga, ga) == 1
+    # force a small budget: flops=7 (est) * 40B / 100B -> 3 phases
+    flops = estimate_flops(ga, ga)
+    want = -(-flops * 40 // 100)
+    assert calculate_phases(ga, ga, per_phase_budget_bytes=100) == min(256, want)
+    auto = spgemm_phased(ga, ga, phases=None)
+    assert edges_set(auto) == edges_set(spgemm(ga, ga))
