@@ -67,16 +67,21 @@ def bench_pagerank(spark, sf_dir: str, n_partitions: int):
     return wall, res.iterations, m, eps
 
 
-def bench_pagerank_rmat(spark, scale: int, n_iter: int, n_partitions: int, broadcast=None):
+def bench_pagerank_rmat(spark, scale: int, n_iter: int, n_partitions: int,
+                        broadcast=None, edge_factor: int = 16):
     """Scaling-evidence kernel: fixed PageRank iterations on a seeded
     R-MAT graph (Graph500 initiator), so both parallelism levels run
     the IDENTICAL job on the IDENTICAL input and the measurement is
     pure SpMV superstep throughput (no convergence-length variation).
+
+    ``edge_factor`` defaults to Graph500's 16; a Common-Crawl-style
+    page link graph averages ~50 outlinks/page, so scaling runs that
+    model the north metric's target workload use 48.
     """
     from combblas_spark.algos.pagerank import pagerank
     from combblas_spark.sources.generators import rmat_graph
 
-    g = rmat_graph(spark, scale=scale, edge_factor=16, seed=42, n_partitions=n_partitions)
+    g = rmat_graph(spark, scale=scale, edge_factor=edge_factor, seed=42, n_partitions=n_partitions)
     g = g.cache()
     m = g.num_edges()  # materialize the generated graph outside the timer
     res = pagerank(spark, g, tol=-1.0, max_iter=n_iter, broadcast_contrib=broadcast)
@@ -99,6 +104,8 @@ def main() -> None:
                     help="use a seeded R-MAT graph of this scale for the kernel (scaling evidence)")
     ap.add_argument("--fixed-iters", type=int, default=10,
                     help="fixed iteration count for the R-MAT kernel")
+    ap.add_argument("--edge-factor", type=int, default=16,
+                    help="R-MAT edges per vertex (16 = Graph500; 48 ≈ web link graph)")
     ap.add_argument("--no-broadcast", action="store_true",
                     help="force the co-partitioned shuffle SpMV path (vs broadcast)")
     ap.add_argument("--skip", default="", help="comma-separated query names to skip")
@@ -115,6 +122,7 @@ def main() -> None:
         pr_wall, pr_iters, n_edges, eps = bench_pagerank_rmat(
             spark, args.rmat_scale, args.fixed_iters, shuffle,
             broadcast=False if args.no_broadcast else None,
+            edge_factor=args.edge_factor,
         )
         timings[f"pagerank_rmat_s{args.rmat_scale}"] = round(pr_wall, 3)
     else:

@@ -156,7 +156,14 @@ def pagerank(
             ranks.filter(F.col("deg") > 0)
             .select("v", (F.col("rank") / F.col("deg")).alias("val"))
         )
-        x = F.broadcast(contrib) if broadcast_contrib else contrib
+        # non-broadcast path: co-partitioned shuffled-hash join — edges
+        # are cached hash(src, P) and the contrib side inherits the rank
+        # checkpoint's hash(v, P), so the join needs NO exchange on
+        # either side and no driver-side broadcast build; the hint stops
+        # AQE from "helpfully" broadcasting (which would reintroduce the
+        # O(n) driver constant) and SMJ from sorting the edges each
+        # iteration (measured 5x slower than SHJ at scale 20).
+        x = F.broadcast(contrib) if broadcast_contrib else contrib.hint("shuffle_hash")
         sums = (
             edges.join(x, edges[SRC] == x["v"], "inner")
             .groupBy(F.col(DST).alias("v"))

@@ -88,7 +88,10 @@ def spmv(
     """
     if broadcast_vector is None:
         broadcast_vector = vec_nnz is not None and vec_nnz < BROADCAST_NNZ_CUTOFF
-    x = F.broadcast(vec) if broadcast_vector else vec
+    # beyond broadcast reach: shuffled-hash join of the vector side
+    # (no per-iteration sort of the big edge table, no AQE broadcast
+    # conversion re-adding the driver-side build)
+    x = F.broadcast(vec) if broadcast_vector else vec.hint("shuffle_hash")
     contrib = semiring.contribution(F.col(W), F.col(val_col))
     return (
         g.edges.join(x, g.edges[SRC] == x["v"], "inner")

@@ -175,10 +175,25 @@ def minhash_lsh_pairs(
     candidates back to exact gram sets (distinct-gram Jaccard).
     """
     r = n_hashes // bands
-    grams = gram_base_hashes(docs, n=shingle_n).cache()
-    sigs = minhash_signatures(
-        docs, n_hashes, shingle_n, seed, grams=grams
-    ).cache()
+    # ONE pass over the gram table computes both the signature mins and
+    # the exact-verification gram sets (the gram explosion dominates the
+    # pipeline cost — scanning it twice would double it)
+    grams = gram_base_hashes(docs, n=shingle_n)
+    per_doc = (
+        grams.groupBy("doc_id")
+        .agg(
+            F.collect_set("gram").alias("gs"),
+            *[
+                F.min(_family_hash(F.col("_b"), i, seed)).alias(f"_h{i}")
+                for i in range(n_hashes)
+            ],
+        )
+        .cache()
+    )
+    sigs = per_doc.select(
+        "doc_id",
+        F.array(*[F.col(f"_h{i}") for i in range(n_hashes)]).alias("sig"),
+    )
     band_idx = F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band")
     keys = sigs.select("doc_id", "sig", band_idx).select(
         "doc_id",
@@ -194,9 +209,8 @@ def minhash_lsh_pairs(
         .select("a", "b")
         .distinct()
     )
-    gsets = grams.groupBy("doc_id").agg(F.collect_set("gram").alias("gs"))
-    ga = gsets.select(F.col("doc_id").alias("a"), F.col("gs").alias("gsa"))
-    gb = gsets.select(F.col("doc_id").alias("b"), F.col("gs").alias("gsb"))
+    ga = per_doc.select(F.col("doc_id").alias("a"), F.col("gs").alias("gsa"))
+    gb = per_doc.select(F.col("doc_id").alias("b"), F.col("gs").alias("gsb"))
     inter = F.size(F.array_intersect("gsa", "gsb")).cast("double")
     union = (F.size("gsa") + F.size("gsb") - inter).cast("double")
     return (

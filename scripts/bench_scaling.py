@@ -21,7 +21,10 @@ Measurement protocol:
 Writes BENCH_SCALING.json at the repo root and prints it.
 
 Env knobs: SCALING_N (2), SCALING_4N (8), SCALING_RMAT_SCALE (22),
-SCALING_ITERS (10), SCALING_REPS (2), SCALING_MEM (48g).
+SCALING_ITERS (10), SCALING_REPS (2), SCALING_MEM (48g),
+SCALING_EDGE_FACTOR (16), SCALING_NO_BROADCAST (0 — set 1 to measure
+the co-partitioned shuffle SpMV path at the broadcast-cutoff boundary),
+SCALING_OUT (BENCH_SCALING.json).
 """
 
 from __future__ import annotations
@@ -44,7 +47,10 @@ def run_once(cpus: int, scale: str, iters: str, mem: str) -> dict:
         "--shuffle", "64",
         "--rmat-scale", scale,
         "--fixed-iters", iters,
+        "--edge-factor", os.environ.get("SCALING_EDGE_FACTOR", "16"),
     ]
+    if os.environ.get("SCALING_NO_BROADCAST", "0") == "1":
+        cmd.append("--no-broadcast")
     env = dict(os.environ, SPARK_GRAFT_DRIVER_MEM=mem)
     out = subprocess.run(
         cmd, capture_output=True, text=True, cwd=REPO, env=env, check=True
@@ -80,11 +86,17 @@ def main() -> None:
     }
     ratio = hi / lo
     eff = (tput[hi] / tput[lo]) / ratio
+    ef = os.environ.get("SCALING_EDGE_FACTOR", "16")
+    path = (
+        "co-partitioned shuffle SpMV"
+        if os.environ.get("SCALING_NO_BROADCAST", "0") == "1"
+        else "broadcast (zero-shuffle) SpMV"
+    )
     result = {
         "protocol": (
-            f"seeded R-MAT scale {scale} (edgefactor 16), {iters} fixed PageRank "
-            f"iterations, {reps} interleaved fresh-JVM runs per level, steady-state "
-            "median per-superstep throughput (construction excluded), "
+            f"seeded R-MAT scale {scale} (edgefactor {ef}), {iters} fixed PageRank "
+            f"iterations, {reps} interleaved fresh-JVM runs per level, {path} path, "
+            "steady-state median per-superstep throughput (construction excluded), "
             "level value = median of runs"
         ),
         "graph_edges": samples[lo][0]["graph_edges"],
@@ -100,7 +112,8 @@ def main() -> None:
         "scaling_efficiency": round(eff, 3),
         "north_rule_pass": eff >= 0.8,
     }
-    with open(os.path.join(REPO, "BENCH_SCALING.json"), "w") as f:
+    out_name = os.environ.get("SCALING_OUT", "BENCH_SCALING.json")
+    with open(os.path.join(REPO, out_name), "w") as f:
         json.dump(result, f, indent=2)
     print(json.dumps(result))
 

@@ -79,3 +79,18 @@ def test_pagerank_converges_and_reports(spark):
     assert res.delta < 1e-6
     assert res.iterations > 1
     assert res.edges_processed == res.iterations * 12
+
+
+def test_pagerank_broadcast_and_shuffle_paths_agree(spark):
+    """Cross-path consistency: the zero-shuffle broadcast superstep and
+    the co-partitioned shuffled-hash superstep must converge to the
+    same ranks (the SpMSpV sparse/dense switch, CC.h:1256, must be
+    semantics-free)."""
+    g = FX.graph(spark, FX.SEVEN, n_partitions=4)
+    b = pagerank(spark, g, tol=1e-8, max_iter=60, broadcast_contrib=True)
+    s = pagerank(spark, g, tol=1e-8, max_iter=60, broadcast_contrib=False)
+    rb = {r["v"]: r["rank"] for r in b.ranks.collect()}
+    rs = {r["v"]: r["rank"] for r in s.ranks.collect()}
+    assert set(rb) == set(rs)
+    for v in rb:
+        assert abs(rb[v] - rs[v]) < 1e-9, v
