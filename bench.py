@@ -67,8 +67,35 @@ def bench_pagerank(spark, sf_dir: str, n_partitions: int):
     return wall, res.iterations, m, eps
 
 
+def rmat_or_cached(spark, scale: int, edge_factor: int, n_partitions: int,
+                   parquet_path: str = ""):
+    """Seeded R-MAT graph, optionally served from a parquet cache.
+
+    Scaling runs at low parallelism shouldn't pay low-parallelism
+    GENERATION cost (generation is outside the measurement): pre-write
+    the edge table once (``--gen-only`` at high parallelism), then
+    every measured run at every level reads the identical bytes.
+    """
+    import os as _os
+
+    from combblas_spark.graph import Graph
+    from combblas_spark.sources.generators import rmat_graph
+
+    if parquet_path and _os.path.exists(_os.path.join(parquet_path, "_SUCCESS")):
+        e = spark.read.parquet(parquet_path)
+        return Graph(edges=e, n_partitions=n_partitions)
+    g = rmat_graph(spark, scale=scale, edge_factor=edge_factor, seed=42,
+                   n_partitions=n_partitions)
+    if parquet_path:
+        g.edges.write.mode("overwrite").parquet(parquet_path)
+        e = spark.read.parquet(parquet_path)
+        return Graph(edges=e, n_partitions=n_partitions)
+    return g
+
+
 def bench_pagerank_rmat(spark, scale: int, n_iter: int, n_partitions: int,
-                        broadcast=None, edge_factor: int = 16):
+                        broadcast=None, edge_factor: int = 16,
+                        edges_parquet: str = ""):
     """Scaling-evidence kernel: fixed PageRank iterations on a seeded
     R-MAT graph (Graph500 initiator), so both parallelism levels run
     the IDENTICAL job on the IDENTICAL input and the measurement is
@@ -79,9 +106,8 @@ def bench_pagerank_rmat(spark, scale: int, n_iter: int, n_partitions: int,
     model the north metric's target workload use 48.
     """
     from combblas_spark.algos.pagerank import pagerank
-    from combblas_spark.sources.generators import rmat_graph
 
-    g = rmat_graph(spark, scale=scale, edge_factor=edge_factor, seed=42, n_partitions=n_partitions)
+    g = rmat_or_cached(spark, scale, edge_factor, n_partitions, edges_parquet)
     g = g.cache()
     m = g.num_edges()  # materialize the generated graph outside the timer
     res = pagerank(spark, g, tol=-1.0, max_iter=n_iter, broadcast_contrib=broadcast)
@@ -106,6 +132,11 @@ def main() -> None:
                     help="fixed iteration count for the R-MAT kernel")
     ap.add_argument("--edge-factor", type=int, default=16,
                     help="R-MAT edges per vertex (16 = Graph500; 48 ≈ web link graph)")
+    ap.add_argument("--edges-parquet", default="",
+                    help="parquet cache for the R-MAT edge table (generate once, "
+                         "measured runs at every level read the identical bytes)")
+    ap.add_argument("--gen-only", action="store_true",
+                    help="generate + write --edges-parquet, then exit")
     ap.add_argument("--no-broadcast", action="store_true",
                     help="force the co-partitioned shuffle SpMV path (vs broadcast)")
     ap.add_argument("--skip", default="", help="comma-separated query names to skip")
@@ -118,11 +149,19 @@ def main() -> None:
     timings: dict[str, float] = {}
 
     # --- north-metric kernel -------------------------------------------
+    if args.rmat_scale and args.gen_only:
+        g = rmat_or_cached(spark, args.rmat_scale, args.edge_factor, shuffle,
+                           args.edges_parquet)
+        print(json.dumps({"generated": True, "edges": g.num_edges(),
+                          "path": args.edges_parquet}))
+        spark.stop()
+        return
     if args.rmat_scale:
         pr_wall, pr_iters, n_edges, eps = bench_pagerank_rmat(
             spark, args.rmat_scale, args.fixed_iters, shuffle,
             broadcast=False if args.no_broadcast else None,
             edge_factor=args.edge_factor,
+            edges_parquet=args.edges_parquet,
         )
         timings[f"pagerank_rmat_s{args.rmat_scale}"] = round(pr_wall, 3)
     else:

@@ -49,29 +49,40 @@ def maximal_independent_set(
     edges = e.repartition(g.n_partitions, SRC).cache()
     edges.count()
 
+    from ..operators.spmv import broadcast_nnz_cutoff
+
     active = (
         edges.select(F.col(SRC).alias("v")).distinct()
         .withColumn("pri", F.xxhash64(F.col("v"), F.lit(seed)))
         .localCheckpoint(eager=True)
     )
     n_active = active.count()
+    cutoff = broadcast_nnz_cutoff(spark)
     winner_slices: list[DataFrame] = []
 
     rounds = 0
     while n_active > 0 and rounds < max_iter:
         rounds += 1
+        # a localCheckpoint hides size stats from Catalyst (LogicalRDD
+        # reports defaultSizeInBytes), so the active-set joins would
+        # silently fall back to sort-merge, re-sorting the cached edge
+        # table every round — broadcast the small side explicitly,
+        # driven by the count we already have (the SpMSpV switch again)
+        def _maybe_b(df: DataFrame) -> DataFrame:
+            return F.broadcast(df) if n_active < cutoff else df
+
         # neighborhood-min over still-active edges (Select2ndMin on
         # priority), fused with the winner decision into one status job
         act_src = active.select(F.col("v").alias(SRC), F.col("pri").alias("_spri"))
-        act_edges = edges.join(act_src, SRC, "inner").join(
-            active.select(F.col("v").alias(DST)), DST, "left_semi"
+        act_edges = edges.join(_maybe_b(act_src), SRC, "inner").join(
+            _maybe_b(active.select(F.col("v").alias(DST))), DST, "left_semi"
         )
         nbr_best = (
             act_edges.groupBy(F.col(DST).alias("v"))
             .agg(F.min(F.struct(F.col("_spri").alias("pri"), F.col(SRC).alias("nv"))).alias("m"))
         )
         status = (
-            active.join(nbr_best, "v", "left")
+            active.join(_maybe_b(nbr_best), "v", "left")
             .select(
                 "v",
                 "pri",
@@ -86,7 +97,7 @@ def maximal_independent_set(
         winner_slices.append(winners)
         # deactivate winners and their neighbors in one job
         nbrs = (
-            edges.join(winners.withColumnRenamed("v", SRC), SRC, "left_semi")
+            edges.join(_maybe_b(winners.withColumnRenamed("v", SRC)), SRC, "left_semi")
             .select(F.col(DST).alias("v"))
         )
         active = (

@@ -74,6 +74,31 @@ def prune_column_by_index(g: Graph, cols: DataFrame) -> Graph:
     return replace(g, edges=g.edges.join(c, DST, "left_anti"))
 
 
+def prune_rows_cols(g: Graph, rows: DataFrame, cols: DataFrame) -> Graph:
+    """Prune(ri, ci) (SpParMat.h:240): remove entries with row∈ri AND
+    col∈ci (the ri×ci sub-block is cleared; everything else kept).
+    ``rows``/``cols``: (v)."""
+    r = rows.select(F.col("v").alias(SRC))
+    c = cols.select(F.col("v").alias(DST))
+    in_block = (
+        g.edges.join(r, SRC, "left_semi").join(c, DST, "left_semi")
+    )
+    return replace(
+        g, edges=g.edges.join(in_block.select(SRC, DST), [SRC, DST], "left_anti")
+    )
+
+
+def prune_full(g: Graph, rows: DataFrame, cols: DataFrame) -> Graph:
+    """PruneFull (SpParMat.h:241): remove every entry whose row∈ri OR
+    col∈ci (full row/column clearing)."""
+    r = rows.select(F.col("v").alias(SRC))
+    c = cols.select(F.col("v").alias(DST))
+    return replace(
+        g,
+        edges=g.edges.join(r, SRC, "left_anti").join(c, DST, "left_anti"),
+    )
+
+
 def ewise_mult(
     a: Graph,
     b: Graph,

@@ -133,6 +133,26 @@ def spgemm_phased(
     return replace(a, edges=merged)
 
 
+def col_split(g: Graph, k: int) -> list[Graph]:
+    """ColSplit (SpParMat.cpp:2981-3263 family): partition the matrix
+    into k column buckets by hash — filters over the same cached plan,
+    so Spark's partition pruning does the work; the pieces are what
+    double-buffered SUMMA / phased SpGEMM iterate over."""
+    return [
+        replace(g, edges=g.edges.filter(F.pmod(F.col(DST), F.lit(k)) == i))
+        for i in range(k)
+    ]
+
+
+def col_concatenate(parts: list[Graph]) -> Graph:
+    """ColConcatenate / Merge: reassemble column splits (disjoint
+    column sets → plain union, no duplicate combine needed)."""
+    merged = parts[0].edges
+    for p in parts[1:]:
+        merged = merged.unionByName(p.edges)
+    return replace(parts[0], edges=merged)
+
+
 def estimate_flops(a: Graph, b: Graph) -> int:
     """EstimateFLOP (ParFriends.h:370-463): Σ_k nnz_A(·,k)·nnz_B(k,·)
     via a join of per-key histograms — the symbolic pass that sizes

@@ -282,3 +282,23 @@ def test_calculate_phases_auto(spark, ga):
     assert calculate_phases(ga, ga, per_phase_budget_bytes=100) == min(256, want)
     auto = spgemm_phased(ga, ga, phases=None)
     assert edges_set(auto) == edges_set(spgemm(ga, ga))
+
+
+def test_prune_rows_cols_and_full(spark, ga):
+    rows = spark.createDataFrame([(0,), (2,)], "v long")
+    cols = spark.createDataFrame([(2,)], "v long")
+    block = E.prune_rows_cols(ga, rows, cols)
+    # entries (0,2) and (2,2) cleared; (1,2) kept (row 1 not in ri)
+    assert edges_set(block) == {(0, 1, 2.0), (1, 2, 4.0), (2, 0, 5.0)}
+    full = E.prune_full(ga, rows, cols)
+    # rows 0,2 and col 2 all cleared
+    assert edges_set(full) == set()
+
+
+def test_col_split_concatenate(spark, ga):
+    from combblas_spark.operators.spgemm import col_concatenate, col_split
+
+    parts = col_split(ga, 3)
+    for i, p in enumerate(parts):
+        assert all(r["dst"] % 3 == i for r in p.edges.collect())
+    assert edges_set(col_concatenate(parts)) == set(A_TRIPLES)
