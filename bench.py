@@ -117,6 +117,11 @@ def bench_pagerank_rmat(spark, scale: int, n_iter: int, n_partitions: int,
     # (TopDownBFS.cpp:460-464 likewise times BFS runs, not construction)
     warm = res.iter_seconds[3:] if len(res.iter_seconds) > 5 else res.iter_seconds
     med = sorted(warm)[len(warm) // 2]
+    print(
+        "iter_seconds: " + " ".join(f"{x:.2f}" for x in res.iter_seconds),
+        file=sys.stderr,
+        flush=True,
+    )
     return res.loop_seconds, n_iter, m, m / med
 
 

@@ -69,7 +69,11 @@ def run_once(cpus: int, scale: str, iters: str, mem: str) -> dict:
         os.path.join(REPO, "bench.py"),
         "--kernel-only",
         "--cpus", str(cpus),
-        "--shuffle", "64",
+        # 32, NOT 64: measured 16x per-iteration regression at 64
+        # shuffle partitions on this box (local[8], scale 20 ef 48:
+        # 18.1M vs 1.1M edges/s/iter) — the round-1 artifact's erratic
+        # local[8] samples trace to exactly this
+        "--shuffle", os.environ.get("SCALING_SHUFFLE", "32"),
         "--rmat-scale", scale,
         "--fixed-iters", iters,
         "--edge-factor", os.environ.get("SCALING_EDGE_FACTOR", "16"),
