@@ -421,6 +421,53 @@ SELECT dst, src, w FROM (
 """
 )
 
+def _matching_sql(rounds: int) -> str:
+    """Greedy bipartite maximal matching, fixed-round unrolled
+    (BPMaximalMatching.h:84-130: column proposes min row, row accepts
+    min column, matched endpoints leave)."""
+    parts = [
+        "WITH " + EDGES_CTE.strip() + ",",
+        "u0 AS MATERIALIZED (SELECT DISTINCT src, dst FROM edges)",
+    ]
+    for k in range(1, rounds + 1):
+        parts.append(
+            f""",
+p{k} AS MATERIALIZED (SELECT dst, min(src) AS src FROM u{k-1} GROUP BY dst),
+m{k} AS MATERIALIZED (SELECT src, min(dst) AS dst FROM p{k} GROUP BY src),
+u{k} AS MATERIALIZED (
+  SELECT u.src, u.dst FROM u{k-1} u
+  WHERE u.src NOT IN (SELECT src FROM m{k})
+    AND u.dst NOT IN (SELECT dst FROM m{k})
+)"""
+        )
+    union = " UNION ALL ".join(f"SELECT src, dst FROM m{k}" for k in range(1, rounds + 1))
+    parts.append(f"\n{union}")
+    return "\n".join(parts)
+
+
+INDUCED_EDGES_SQL = (
+    _cc_sql(CC_ROUNDS).rpartition("\nSELECT")[0]
+    + f"""
+SELECT a.comp AS comp, count(*) AS n_edges
+FROM edges e
+JOIN j{CC_ROUNDS} a ON e.src = a.v
+JOIN j{CC_ROUNDS} b ON e.dst = b.v
+WHERE a.comp = b.comp
+GROUP BY a.comp
+"""
+)
+
+GRAPH_METRICS_SQL = (
+    "WITH " + EDGES_CTE.strip()
+    + """,
+mx AS (SELECT max(greatest(src, dst)) + 1 AS n FROM edges),
+up AS (SELECT dst, min(src) AS f FROM edges WHERE src <= dst GROUP BY dst)
+SELECT CAST((SELECT max(abs(src - dst)) FROM edges) AS BIGINT) AS bandwidth,
+       CAST((SELECT coalesce(sum(dst - f), 0) + (SELECT n FROM mx) - count(*)
+             FROM up) AS BIGINT) AS profile
+"""
+)
+
 DEDUP_EXACT_SQL = """
 SELECT md5(text) AS h, count(*) AS n_dups, min(doc_id) AS keep_id
 FROM documents GROUP BY md5(text)
@@ -721,6 +768,42 @@ def q_mis(spark: SparkSession, sf_dir: str) -> DataFrame:
     return maximal_independent_set(spark, _graph(spark, sf_dir), seed=42)
 
 
+MATCH_ROUNDS = 3
+
+
+def q_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy bipartite maximal matching, 3 fixed rounds
+    (BPMaximalMatching.h:84-130) — deterministic min-min choices, so
+    the unrolled SQL oracle reproduces it exactly."""
+    from combblas_spark.algos.matching import maximal_bipartite_matching
+
+    return maximal_bipartite_matching(
+        spark, _graph(spark, sf_dir), max_iter=MATCH_ROUNDS
+    )
+
+
+def q_induced_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """InducedSubgraphs coverage (SpParMat.h:108): per-component edge
+    counts of the label-induced subgraphs."""
+    from combblas_spark.algos.components import connected_components
+    from combblas_spark.operators.indexing import induced_subgraphs
+
+    g = _graph(spark, sf_dir)
+    labels = connected_components(spark, g)
+    sub = induced_subgraphs(g, labels, label_col="comp")
+    return sub.groupBy("comp").agg(F.count("*").alias("n_edges"))
+
+
+def q_graph_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bandwidth + Profile metrics (SpParMat.h:139-140) as one row."""
+    from combblas_spark.operators.reduce import bandwidth, profile
+
+    g = _graph(spark, sf_dir)
+    return spark.createDataFrame(
+        [(bandwidth(g), profile(g))], schema="bandwidth long, profile long"
+    )
+
+
 def q_mtx_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ParallelWriteMM / ParallelReadMM coverage (SpParMat.cpp:3987,
     4127): the link graph round-trips through the sharded MatrixMarket
@@ -794,6 +877,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh": q_minhash_lsh,
         "simhash64": q_simhash,
         "media_features": q_media_features,
+        "matching3": q_matching,
+        "induced_edges": q_induced_edges,
+        "graph_metrics": q_graph_metrics,
         "mtx_degrees": q_mtx_degrees,
         "webgraph_pagerank": q_webgraph_pagerank,
         "sessionize": q_sessionize,
@@ -825,6 +911,9 @@ def oracle_sql() -> dict[str, str]:
         "fingerprint": FINGERPRINT_SQL,
         "token_stats": TOKEN_STATS_SQL,
         "cosine_topk5": COSINE_TOPK_SQL,
+        "matching3": _matching_sql(MATCH_ROUNDS),
+        "induced_edges": INDUCED_EDGES_SQL,
+        "graph_metrics": GRAPH_METRICS_SQL,
         "mtx_degrees": DEGREES_SQL,
         "sessionize": SESSIONIZE_SQL,
         "moving_avg7": MOVING_AVG_SQL,
