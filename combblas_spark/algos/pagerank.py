@@ -102,6 +102,18 @@ def pagerank(
         .cache()
     )
     m = edges.count()
+    # Vertex-vector tables are O(n) ≪ O(m): fanning them across the
+    # edge table's partition count wastes task-scheduling time in every
+    # per-iteration driver job (broadcast build scan, delta aggregate,
+    # checkpoint) — on the broadcast path the vector's partitioning
+    # carries no co-location requirement, so keep it narrow.  The
+    # non-broadcast (shuffled-hash) path NEEDS hash(v, n_partitions) to
+    # line up with the edge table, so it keeps the full count.
+    vec_parts = (
+        max(8, g.n_partitions // 4)
+        if broadcast_contrib in (None, True)
+        else g.n_partitions
+    )
     # vd: (v, deg) with deg=0 for dangling vertices — one union+groupBy
     # pass over the cached edges (out-degree and vertex universe fused).
     vd = (
@@ -109,7 +121,7 @@ def pagerank(
         .unionByName(edges.select(F.col(DST).alias("v"), F.lit(0).alias("_c")))
         .groupBy("v")
         .agg(F.sum("_c").alias("deg"))
-        .repartition(g.n_partitions, "v")
+        .repartition(vec_parts, "v")
         .cache()
     )
     n = vd.count()
@@ -186,6 +198,15 @@ def pagerank(
                 "_prev",
             )
         )
+        if broadcast_contrib and vec_parts != g.n_partitions:
+            # narrow the rank row set back to the vector partition count
+            # (the join output inherits the wide shuffle layout) — an
+            # exchange of O(n) rows, repaid by every per-iteration driver
+            # job over the checkpoint (broadcast-build scan, delta
+            # aggregate) running vec_parts tasks instead of n_partitions.
+            # A coalesce would be exchange-free but collapses the whole
+            # superstep stage's width with it.
+            new_ranks = new_ranks.repartition(vec_parts, "v")
         if checkpointer is not None:
             # durable path: the scalar job reads the re-loaded snapshot
             # (_prev rides in the snapshot; resume ignores extra columns)
