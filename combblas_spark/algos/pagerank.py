@@ -198,7 +198,10 @@ def pagerank(
                 "_prev",
             )
         )
-        if broadcast_contrib and vec_parts != g.n_partitions:
+        if broadcast_contrib and vec_parts != g.n_partitions and n >= 100_000:
+            # worth a stage barrier only when the vector is big enough
+            # that wide task fan-out dominates (tiny graphs are pure
+            # per-stage latency — an extra exchange just adds one)
             # narrow the rank row set back to the vector partition count
             # (the join output inherits the wide shuffle layout) — an
             # exchange of O(n) rows, repaid by every per-iteration driver
