@@ -134,11 +134,25 @@ class Graph:
             F.count("*").alias("deg")
         )
 
-    def drop_isolated(self, spark: SparkSession) -> "Graph":
-        """Remove vertices with no edges at all — in the edge-list model
-        isolated vertices simply never appear, so this is a no-op kept
-        for API parity with TopDownBFS.cpp:167 (SubsRef of nonisov)."""
-        return self
+    def drop_isolated(self, spark: SparkSession) -> tuple["Graph", DataFrame]:
+        """SubsRef of non-isolated vertices (TopDownBFS.cpp:167):
+        compact the vertex ID SPACE to dense 0..n'-1 over vertices that
+        actually appear on an edge, and relabel the edges.
+
+        In the edge-list model isolated vertices never appear in the
+        data, but the id space can still be sparse (e.g. after heavy
+        pruning) — the reference's A(nonisov, nonisov) exists to keep
+        downstream dense-vector kernels sized to n', and this does the
+        same.  Returns (graph', perm) where perm is (v=old_id,
+        new_id=dense rank) — the permutation-matrix analogue, reusable
+        for mapping results back.
+        """
+        from .operators.indexing import nziota, subsref
+
+        perm = nziota(self.vertices()).select(
+            "v", F.col("val").alias("new_id")
+        )
+        return subsref(self, perm), perm
 
     def cache(self) -> "Graph":
         return replace(self, edges=self.edges.cache())

@@ -302,3 +302,11 @@ def test_col_split_concatenate(spark, ga):
     for i, p in enumerate(parts):
         assert all(r["dst"] % 3 == i for r in p.edges.collect())
     assert edges_set(col_concatenate(parts)) == set(A_TRIPLES)
+
+
+def test_drop_isolated_compacts_id_space(spark):
+    g = FX.graph(spark, [(5, 90, 1.0), (90, 300, 2.0)], n_partitions=2)
+    g2, perm = g.drop_isolated(spark)
+    p = {r["v"]: r["new_id"] for r in perm.collect()}
+    assert p == {5: 0, 90: 1, 300: 2}
+    assert edges_set(g2) == {(0, 1, 1.0), (1, 2, 2.0)}
