@@ -105,3 +105,39 @@ def test_streaming_ingest_and_degrees(spark, tmp_path):
     q.awaitTermination(60)
     degs = {r["v"]: r["deg"] for r in spark.sql("SELECT * FROM t_degs").collect()}
     assert degs == {0: 3, 1: 1, 2: 1}
+
+
+def test_streaming_windowed_counts_with_watermark(spark, tmp_path):
+    from datetime import datetime
+
+    from combblas_spark.streaming.ingest import windowed_event_counts
+
+    src_dir = str(tmp_path / "events_in")
+    ck = str(tmp_path / "ck_win")
+    os.makedirs(src_dir, exist_ok=True)
+    rows = [
+        (datetime(2026, 1, 1, 10, 5), "click"),
+        (datetime(2026, 1, 1, 10, 40), "click"),
+        (datetime(2026, 1, 1, 11, 10), "view"),
+        (datetime(2026, 1, 1, 11, 20), "click"),
+    ]
+    spark.createDataFrame(rows, "ts timestamp, event_type string").write.mode(
+        "append"
+    ).parquet(src_dir)
+
+    stream = spark.readStream.schema("ts timestamp, event_type string").parquet(src_dir)
+    agg = windowed_event_counts(stream, window="1 hour", watermark="2 hours")
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("t_win")
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    got = {
+        (r["window"].start.hour, r["event_type"]): r["n"]
+        for r in spark.sql("SELECT * FROM t_win").collect()
+    }
+    assert got == {(10, "click"): 2, (11, "view"): 1, (11, "click"): 1}
