@@ -332,6 +332,26 @@ SELECT q, neighbor, round(cos, 6) AS cos FROM (
 ) WHERE rn <= {ANN_K}
 """
 
+EMBED_T = 0.4
+
+EMBED_PAIRS_SQL = f"""
+WITH ex AS MATERIALIZED (
+  SELECT vec_id, unnest(embedding) AS x, generate_subscripts(embedding, 1) AS i
+  FROM embeddings
+),
+norms AS MATERIALIZED (
+  SELECT vec_id, sqrt(sum(CAST(x AS DOUBLE) * x)) AS n FROM ex GROUP BY vec_id
+),
+dots AS MATERIALIZED (
+  SELECT a.vec_id AS a, b.vec_id AS b, sum(CAST(a.x AS DOUBLE) * b.x) AS d
+  FROM ex a JOIN ex b ON a.i = b.i AND a.vec_id < b.vec_id
+  GROUP BY a.vec_id, b.vec_id
+)
+SELECT a, b, round(d / (na.n * nb.n), 6) AS cos
+FROM dots JOIN norms na ON na.vec_id = a JOIN norms nb ON nb.vec_id = b
+WHERE round(d / (na.n * nb.n), 6) >= {EMBED_T}
+"""
+
 SESSIONIZE_SQL = """
 WITH o AS (
   SELECT user_id, ts,
@@ -667,6 +687,16 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk_brute(emb, queries, k=ANN_K)
 
 
+def q_embed_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (exact all-pairs baseline;
+    the LSH-bucketed variant is the scale path, pytest recall-gated)."""
+    from combblas_spark.pipeline.similarity import cosine_near_pairs
+    from combblas_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return cosine_near_pairs(emb, threshold=EMBED_T)
+
+
 def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """rows-only gate (LSH recall < 1 by design); exactness is covered
     by q_ngram_jaccard and pytest cross-validation."""
@@ -874,6 +904,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": q_fingerprint,
         "token_stats": q_token_stats,
         "cosine_topk5": q_cosine_topk,
+        "embed_pairs": q_embed_pairs,
         "minhash_lsh": q_minhash_lsh,
         "simhash64": q_simhash,
         "media_features": q_media_features,
@@ -911,6 +942,7 @@ def oracle_sql() -> dict[str, str]:
         "fingerprint": FINGERPRINT_SQL,
         "token_stats": TOKEN_STATS_SQL,
         "cosine_topk5": COSINE_TOPK_SQL,
+        "embed_pairs": EMBED_PAIRS_SQL,
         "matching3": _matching_sql(MATCH_ROUNDS),
         "induced_edges": INDUCED_EDGES_SQL,
         "graph_metrics": GRAPH_METRICS_SQL,

@@ -76,6 +76,55 @@ def cosine_topk_brute(
     )
 
 
+def cosine_near_pairs(
+    emb: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    lsh_tables: int = 0,
+    seed: int = 42,
+) -> DataFrame:
+    """(a, b, cos) embedding near-duplicate pairs with cosine ≥
+    threshold, a < b.
+
+    ``lsh_tables=0`` (default) is the exact all-pairs baseline — the
+    a<b self-join with JVM zip_with/aggregate dot products; quadratic,
+    reserved for oracle-sized inputs and re-verification.  With
+    ``lsh_tables>0`` candidates come from sign-LSH bucket equi-joins
+    (no all-pairs stage, the corpus-scale path) and are re-verified
+    exactly, so precision is 1.0 and recall follows the table count.
+    """
+    a = emb.select(
+        F.col(id_col).alias("a"), F.col(vec_col).alias("av"),
+        _norm_col(vec_col).alias("an"),
+    )
+    b = emb.select(
+        F.col(id_col).alias("b"), F.col(vec_col).alias("bv"),
+        _norm_col(vec_col).alias("bn"),
+    )
+    if lsh_tables:
+        sa = hyperplane_signs(emb, n_tables=lsh_tables, seed=seed,
+                              id_col=id_col, vec_col=vec_col)
+        ka = sa.select(F.col("id").alias("a"), "table", "bucket")
+        kb = sa.select(F.col("id").alias("b"), "table", "bucket")
+        cand = (
+            ka.join(kb, ["table", "bucket"])
+            .filter(F.col("a") < F.col("b"))
+            .select("a", "b")
+            .distinct()
+        )
+        pairs = cand.join(a, "a").join(b, "b")
+    else:
+        pairs = a.join(b, F.col("a") < F.col("b"))
+    return (
+        pairs.select(
+            "a", "b",
+            F.round(_dot("av", "bv") / (F.col("an") * F.col("bn")), 6).alias("cos"),
+        )
+        .filter(F.col("cos") >= threshold)
+    )
+
+
 def hyperplane_signs(
     df: DataFrame,
     n_planes: int = 16,

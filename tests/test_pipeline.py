@@ -226,3 +226,36 @@ def test_multimodal_plumbing(spark):
     assert set(counts) == set(vids)
     for mid, dur in vids.items():
         assert counts[mid] == max(dur // 1000, 1)
+
+
+def test_cosine_near_pairs_exact_and_lsh(spark, emb):
+    from combblas_spark.pipeline.similarity import cosine_near_pairs
+
+    exact = {
+        (r["a"], r["b"]): r["cos"]
+        for r in cosine_near_pairs(emb, threshold=0.5).collect()
+    }
+    # brute-force reference in numpy
+    import numpy as np
+
+    vecs = {
+        r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+        for r in emb.collect()
+    }
+    want = {}
+    ids = sorted(vecs)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            c = float(vecs[a] @ vecs[b] / (np.linalg.norm(vecs[a]) * np.linalg.norm(vecs[b])))
+            if round(c, 6) >= 0.5:
+                want[(a, b)] = round(c, 6)
+    assert set(exact) == set(want)
+    for k in want:
+        assert exact[k] == pytest.approx(want[k], abs=1e-6)
+    # LSH-bucketed variant: perfect precision, decent recall
+    approx = {
+        (r["a"], r["b"]) for r in cosine_near_pairs(emb, 0.5, lsh_tables=8).collect()
+    }
+    assert approx <= set(want) or not want
+    if want:
+        assert len(approx) / len(want) >= 0.6
