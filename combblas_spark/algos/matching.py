@@ -75,6 +75,117 @@ def maximal_bipartite_matching(
     return out
 
 
+def maximum_bipartite_matching(
+    spark: SparkSession,
+    g: Graph,
+    max_phases: int = 10_000,
+) -> DataFrame:
+    """Maximum-cardinality bipartite matching (src side vs dst side).
+
+    Reference: Applications/BipartiteMatchings/BPMaximumMatching.h:231-420
+    (``maximumMatching`` — the MS-BFS algorithm of Azad & Buluç): start
+    from a greedy maximal matching, then repeat *phases*; each phase
+    runs one multi-source BFS from ALL unmatched columns at once
+    through alternating (non-matching, matching) edges, records one
+    unmatched-row *leaf* per BFS root (an augmenting path endpoint),
+    and augments every discovered path simultaneously — the BFS forest
+    is vertex-disjoint (each row acquires one parent per phase,
+    BPMaximumMatching.h:322-331), so the level-synchronous pointer
+    flipping of ``AugmentLevel`` (:129-158) is safe.  Phases stop when
+    a BFS finds no augmenting path, which by Berge's theorem certifies
+    maximum cardinality.
+
+    DataFrame mapping: the SpMV with Select2ndMin ↦ edges ⋈ fringe →
+    groupBy(row).min((col, root)); parent/leaf vectors ↦ accumulated
+    (row, parent_col, root) / (root, leaf_row) tables; augmentation ↦
+    per-level joins against the phase's parent table and the pre-phase
+    mate table, applied as one rebuild (drop old pairs touching any
+    flipped row/col, union the flips).
+    """
+    edges = g.edges.select(SRC, DST).distinct().repartition(g.n_partitions, SRC).cache()
+    edges.count()
+    all_cols = edges.select(DST).distinct().cache()
+
+    # greedy init (the reference's default init path)
+    mate = maximal_bipartite_matching(spark, g).localCheckpoint(eager=True)
+
+    for _phase in range(max_phases):
+        unmatched_c = all_cols.join(mate.select(DST), DST, "left_anti")
+        fringe_c = unmatched_c.select(F.col(DST).alias("c"), F.col(DST).alias("root"))
+        parents = spark.createDataFrame([], "r long, pc long, root long")
+        leaves = spark.createDataFrame([], "root long, leaf long")
+
+        while not fringe_c.isEmpty():
+            # Select2ndMin SpMV: row r adopts the min (c, root) fringe col
+            cand = (
+                edges.join(
+                    fringe_c, edges[DST] == fringe_c["c"], "inner"
+                )
+                .groupBy(F.col(SRC).alias("r"))
+                .agg(F.min(F.struct(F.col("c").alias("pc"), F.col("root"))).alias("m"))
+                .select("r", F.col("m.pc").alias("pc"), F.col("m.root").alias("root"))
+            )
+            new_rows = cand.join(parents.select("r"), "r", "left_anti").localCheckpoint(
+                eager=True
+            )
+            if new_rows.isEmpty():
+                break
+            parents = parents.unionByName(new_rows).localCheckpoint(eager=True)
+            # unmatched rows reached ⇒ augmenting-path leaves (min row per root)
+            um = new_rows.join(
+                mate.select(F.col(SRC).alias("r")), "r", "left_anti"
+            )
+            new_leaves = (
+                um.groupBy("root")
+                .agg(F.min("r").alias("leaf"))
+                .join(leaves.select("root"), "root", "left_anti")
+            )
+            leaves = leaves.unionByName(new_leaves).localCheckpoint(eager=True)
+            # matched rows continue the alternating BFS through their mates;
+            # prune trees whose root already found a leaf (reference's
+            # FilterByVal prune, BPMaximumMatching.h:374-377)
+            cont = (
+                new_rows.join(leaves.select("root"), "root", "left_anti")
+                .join(mate.select(F.col(SRC).alias("r"), DST), "r", "inner")
+            )
+            fringe_c = (
+                cont.groupBy(F.col(DST).alias("c"))
+                .agg(F.min("root").alias("root"))
+                .localCheckpoint(eager=True)
+            )
+
+        if leaves.isEmpty():
+            break
+
+        # AugmentLevel: walk each path leaf→root flipping mate pointers
+        flips = spark.createDataFrame([], f"{SRC} long, {DST} long")
+        cur = leaves.select("root", F.col("leaf").alias("r"))
+        while not cur.isEmpty():
+            step = cur.join(parents, "r", "inner").select(
+                "r", "pc", cur["root"].alias("root")
+            )
+            flips = flips.unionByName(
+                step.select(F.col("r").alias(SRC), F.col("pc").alias(DST))
+            )
+            # continue from the column's PRE-PHASE mate (paths are
+            # vertex-disjoint, so reading the old table is exact)
+            cur = (
+                step.join(mate, step["pc"] == mate[DST], "inner")
+                .select(step["root"].alias("root"), mate[SRC].alias("r"))
+                .localCheckpoint(eager=True)
+            )
+        flips = flips.localCheckpoint(eager=True)
+        mate = (
+            mate.join(flips.select(SRC), SRC, "left_anti")
+            .join(flips.select(DST), DST, "left_anti")
+            .select(SRC, DST)
+            .unionByName(flips)
+            .localCheckpoint(eager=True)
+        )
+
+    return mate
+
+
 def rcm_ordering(spark: SparkSession, g: Graph, source: int | None = None) -> DataFrame:
     """Reverse Cuthill-McKee permutation (Applications/Ordering/RCM.cpp):
     (v, new_id) with new_id the RCM position.

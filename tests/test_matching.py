@@ -62,3 +62,67 @@ def test_rcm_reduces_bandwidth(spark):
     perm = rcm_ordering(spark, g)
     after = R.bandwidth(IX.subsref(g, perm))
     assert after <= 2 < before
+
+
+def test_maximum_matching_augments_greedy(spark):
+    # greedy maximal yields {(0,10)}; one augmenting path raises it to 2
+    from combblas_spark.algos.matching import maximum_bipartite_matching
+
+    edges = [(0, 10), (0, 11), (1, 10)]
+    g = Graph(
+        edges=spark.createDataFrame(
+            [(s, d, 1.0) for s, d in edges], "src long, dst long, w double"
+        ),
+        n_partitions=2,
+    )
+    pairs = {(r["src"], r["dst"]) for r in maximum_bipartite_matching(spark, g).collect()}
+    assert pairs == {(0, 11), (1, 10)}
+
+
+def _kuhn_max_matching(edges):
+    """Textbook augmenting-path maximum matching (Kuhn's algorithm) —
+    the in-test golden oracle (the reference validates the same way:
+    cardinality against a serial matcher, MatchingDefs.h checkers)."""
+    adj = {}
+    for s, d in edges:
+        adj.setdefault(s, []).append(d)
+    match_d = {}
+
+    def try_augment(s, seen):
+        for d in adj.get(s, ()):
+            if d in seen:
+                continue
+            seen.add(d)
+            if d not in match_d or try_augment(match_d[d], seen):
+                match_d[d] = s
+                return True
+        return False
+
+    size = 0
+    for s in sorted(adj):
+        if try_augment(s, set()):
+            size += 1
+    return size
+
+
+def test_maximum_matching_cardinality_vs_kuhn(spark):
+    from combblas_spark.algos.matching import maximum_bipartite_matching
+
+    for seed in (3, 17):
+        rng = random.Random(seed)
+        edges = sorted({(rng.randrange(40), rng.randrange(40)) for _ in range(120)})
+        g = Graph(
+            edges=spark.createDataFrame(
+                [(s, 1000 + d, 1.0) for s, d in edges],
+                "src long, dst long, w double",
+            ),
+            n_partitions=4,
+        )
+        got = maximum_bipartite_matching(spark, g).collect()
+        pairs = {(r["src"], r["dst"]) for r in got}
+        srcs = [s for s, _ in pairs]
+        dsts = [d for _, d in pairs]
+        assert len(srcs) == len(set(srcs)) and len(dsts) == len(set(dsts))
+        assert pairs <= {(s, 1000 + d) for s, d in edges}
+        want = _kuhn_max_matching(edges)
+        assert len(pairs) == want, f"seed {seed}: {len(pairs)} != {want}"
