@@ -688,13 +688,19 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_embed_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (exact all-pairs baseline;
-    the LSH-bucketed variant is the scale path, pytest recall-gated)."""
-    from combblas_spark.pipeline.similarity import cosine_near_pairs
+    """Embedding-cosine near-duplicate pairs via the block-grid matmul
+    join: exact (recall 1.0, same oracle), but candidate pairs never
+    materialize as Spark rows — each upper-triangle block-pair task
+    runs one BLAS matmul and emits survivors only.  Sign-LSH cannot
+    prune at τ=0.4 on near-random vectors (recall-1.0 configs generate
+    ≥ all-pairs candidates — measured, see similarity.py); the LSH path
+    remains the scale plan for the high-threshold dedup regime and is
+    pytest recall-gated."""
+    from combblas_spark.pipeline.similarity import cosine_near_pairs_blocked
     from combblas_spark.sources.tables import load_table
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return cosine_near_pairs(emb, threshold=EMBED_T)
+    return cosine_near_pairs_blocked(emb, threshold=EMBED_T, block_size=1024)
 
 
 def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -808,7 +814,7 @@ def q_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
     from combblas_spark.algos.matching import maximal_bipartite_matching
 
     return maximal_bipartite_matching(
-        spark, _graph(spark, sf_dir), max_iter=MATCH_ROUNDS
+        spark, _graph(spark, sf_dir), max_iter=MATCH_ROUNDS, allow_partial=True
     )
 
 

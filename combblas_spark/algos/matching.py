@@ -37,6 +37,7 @@ def maximal_bipartite_matching(
     spark: SparkSession,
     g: Graph,
     max_iter: int = 256,
+    allow_partial: bool = False,
 ) -> DataFrame:
     """Greedy maximal matching of the bipartite pattern (rows = src
     side, columns = dst side).  Returns (src, dst) pairs — each src and
@@ -45,6 +46,12 @@ def maximal_bipartite_matching(
 
     Deterministic: min-id proposal/acceptance on both sides (the
     reference's Select2ndMin semiring with index payloads).
+
+    The maximality guarantee is load-bearing (maximum matching seeds
+    from it): if ``max_iter`` rounds exhaust with unmatched edges left,
+    this RAISES rather than silently returning a partial matching —
+    unless ``allow_partial=True``, the explicit fixed-round mode used
+    by the driver's deliberately-truncated ``matching3`` gate.
     """
     edges = g.edges.select(SRC, DST).distinct().repartition(g.n_partitions, SRC).cache()
     edges.count()
@@ -52,9 +59,11 @@ def maximal_bipartite_matching(
     # remaining = edges whose BOTH endpoints are still unmatched
     remaining = edges.localCheckpoint(eager=True)
     matched_slices: list[DataFrame] = []
+    exhausted = True
 
     for _ in range(max_iter):
         if remaining.isEmpty():
+            exhausted = False
             break
         # column proposes to min row; row accepts min proposing column —
         # two Select2ndMin reductions (BPMaximalMatching.h:104-118)
@@ -69,6 +78,12 @@ def maximal_bipartite_matching(
             .localCheckpoint(eager=True)
         )
 
+    if exhausted and not allow_partial and not remaining.isEmpty():
+        raise RuntimeError(
+            f"maximal_bipartite_matching: {max_iter} rounds exhausted with "
+            "unmatched edges remaining — result would not be maximal "
+            "(pass allow_partial=True for the fixed-round mode)"
+        )
     out = spark.createDataFrame([], "src long, dst long")
     for m in matched_slices:
         out = out.unionByName(m)

@@ -137,6 +137,16 @@ def pagerank(
             )
             edges.count()
             old.unpersist()
+            # the narrow vec_parts above assumed the broadcast path; the
+            # shuffled-hash join needs the vector side on the SAME
+            # hash(v, n_partitions) layout as the edges or it would
+            # re-exchange the vector every iteration — re-pin both
+            # vec_parts (ranks inherit it below) and the cached vd
+            old_vd = vd
+            vec_parts = g.n_partitions
+            vd = old_vd.repartition(vec_parts, "v").cache()
+            vd.count()
+            old_vd.unpersist()
 
     start_iter = 0
     ranks = None

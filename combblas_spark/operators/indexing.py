@@ -10,7 +10,7 @@ from __future__ import annotations
 
 from dataclasses import replace
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..graph import DST, SRC, W, Graph
@@ -111,18 +111,52 @@ def iota(spark: SparkSession, n: int, first: int = 0) -> DataFrame:
     )
 
 
-def _dense_rank_by(df: DataFrame, order_cols: list[str], out_col: str) -> DataFrame:
-    """Distributed global rank assignment: range-partitioned sort +
-    zipWithIndex.  This is the sources/dictionary.py pattern — NO
-    single-partition window (Window.orderBy with no partitionBy moves
-    every row to one task, a 100×-scale serialization point).  The sort
-    total-orders rows across partitions, zipWithIndex then numbers them
-    with one extra count-only job.  Deterministic at any parallelism."""
+def _dense_rank_by(
+    df: DataFrame,
+    order_cols: list[str],
+    out_col: str,
+    keep_cols: list[str] | None = None,
+) -> DataFrame:
+    """Distributed global rank assignment, 100% JVM-side.
+
+    NO single-partition window (Window.orderBy with no partitionBy
+    moves every row to one task) and NO Python RDD (zipWithIndex
+    pickles every row out to Python workers and back).  Instead:
+
+    1. range-partition + sort within partitions on ``order_cols`` —
+       the distributed sample sort (psort analogue);
+    2. ``monotonically_increasing_id`` then encodes exactly
+       (partition_id << 33) | within-partition position, and the
+       within-partition order IS the sorted order;
+    3. one tiny per-partition count aggregate gives each partition's
+       global offset (driver sees P rows, not data);
+    4. broadcast-join the offsets back: rank = offset + local position.
+
+    One wide exchange total (the range partition); ranks depend only on
+    the total order, so the result is deterministic at any parallelism.
+    ``order_cols`` must be a total order (all callers pass unique keys).
+    """
     spark = df.sparkSession
-    ordered = df.sort(*order_cols)
-    schema = "v long, " + f"{out_col} long"
-    rdd = ordered.select("v").rdd.map(lambda r: r["v"]).zipWithIndex()
-    return spark.createDataFrame(rdd, schema=schema)
+    n_parts = max(int(spark.conf.get("spark.sql.shuffle.partitions", "32")), 1)
+    tagged = (
+        df.repartitionByRange(n_parts, *order_cols)
+        .sortWithinPartitions(*order_cols)
+        .withColumn("_mid", F.monotonically_increasing_id())
+        .withColumn("_pid", F.shiftrightunsigned("_mid", 33))
+        .withColumn("_loc", F.col("_mid").bitwiseAND(F.lit((1 << 33) - 1)))
+        .cache()
+    )
+    counts = tagged.groupBy("_pid").agg(F.count("*").alias("_n"))
+    # cumulative offsets over P rows — a driver-scale window, not a data one
+    w0 = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offs = counts.select(
+        "_pid", F.coalesce(F.sum("_n").over(w0), F.lit(0)).alias("_off")
+    )
+    keep = keep_cols if keep_cols is not None else ["v"]
+    return (
+        tagged.join(F.broadcast(offs), "_pid")
+        .select(*keep, (F.col("_off") + F.col("_loc")).alias(out_col))
+    )
 
 
 def nziota(vec: DataFrame, first: int = 0) -> DataFrame:
@@ -208,19 +242,21 @@ def vec_sort(vec: DataFrame, val_col: str = "val", ascending: bool = True):
     ranks dense 0..n-1 in value order (ties by original index, so the
     permutation is deterministic); ``perm`` is (v=original_index,
     new_id=rank) ready for ``subsref``/``permute_symmetric``.
-    Distributed range-partitioned sort + zipWithIndex — no global
-    window."""
-    spark = vec.sparkSession
-    key = F.col(val_col) if ascending else F.col(val_col).desc()
-    ordered = vec.sort(key, "v")
-    rdd = ordered.select("v", val_col).rdd.map(tuple).zipWithIndex()
-    flat = rdd.map(lambda t: (t[0][0], t[0][1], t[1]))
-    val_type = dict(vec.dtypes)[val_col]
-    both = spark.createDataFrame(
-        flat, schema=f"orig long, {val_col} {val_type}, rank long"
-    )
+    JVM-side distributed rank (see _dense_rank_by) — no global window,
+    no Python RDD in the data path."""
+    src = vec
+    if not ascending:
+        # rank by a JVM-negatable key so one code path serves both
+        # directions; restore the original value column afterwards
+        src = vec.withColumn("_negv", -F.col(val_col))
+        order = ["_negv", "v"]
+    else:
+        order = [val_col, "v"]
+    both = _dense_rank_by(src, order, "rank", keep_cols=["v", val_col])
     sorted_vec = both.select(F.col("rank").alias("v"), F.col(val_col))
-    perm = both.select(F.col("orig").alias("v"), F.col("rank").alias("new_id"))
+    perm = both.select(F.col("v").alias("_o"), F.col("rank").alias("new_id")).select(
+        F.col("_o").alias("v"), "new_id"
+    )
     return sorted_vec, perm
 
 

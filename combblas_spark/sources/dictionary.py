@@ -25,15 +25,17 @@ _DICT_SCHEMA = StructType(
 def build_dictionary(labels: DataFrame, col: str = "label") -> DataFrame:
     """(label) → (label, id) with ids dense 0..n-1 in label sort order.
 
-    sortWithinPartitions after a range-partitioned sort keeps the global
-    order; zipWithIndex then assigns offsets per partition in one extra
-    (cheap, count-only) job.  Deterministic for a fixed label set at any
-    parallelism.
+    JVM-side throughout: the distributed range-partitioned sort plus a
+    per-partition-offset rank (operators.indexing._dense_rank_by) — no
+    single-partition window, no Python RDD pickling every label.
+    Deterministic for a fixed label set at any parallelism.
     """
-    distinct = labels.select(F.col(col).alias("label")).distinct().sort("label")
-    rdd = distinct.rdd.map(lambda r: r["label"]).zipWithIndex()
-    spark = labels.sparkSession
-    return spark.createDataFrame(rdd, schema=_DICT_SCHEMA)
+    from ..operators.indexing import _dense_rank_by
+
+    distinct = labels.select(F.col(col).alias("label")).distinct()
+    return _dense_rank_by(distinct, ["label"], "id", keep_cols=["label"]).select(
+        "label", "id"
+    )
 
 
 def relabel_edges(

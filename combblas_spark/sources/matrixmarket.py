@@ -128,8 +128,9 @@ def read_matrix_market(
     # header file (any _mid tie is content-identical, hence
     # interchangeable — partition packing order cannot matter)
     dims_pat = rf"^{m}\s+{n}\s+{nnz}$"
+    in_hdr_file = F.element_at(F.split(F.col("_f"), "/"), -1) == hdr_base
     dims_mid = (
-        data.filter(F.col("_f").endswith(hdr_base) & F.col("value").rlike(dims_pat))
+        data.filter(in_hdr_file & F.col("value").rlike(dims_pat))
         .agg(F.min("_mid").alias("m"))
         .collect()[0]["m"]
     )
@@ -199,10 +200,12 @@ def write_matrix_market(
     else:
         line = F.concat_ws(" ", F.col(SRC) + 1, F.col(DST) + 1, F.col(W))
     if gathered:
+        # distinct increasing keys keep the header lines in order even
+        # though Spark's sort is not stable (banner must precede dims)
         hdr = spark.createDataFrame(
-            [(0, h) for h in head], "k long, value string"
+            list(enumerate(head)), "k long, value string"
         )
-        body = g.edges.select(F.lit(1).alias("k"), line.alias("value"))
+        body = g.edges.select(F.lit(len(head)).alias("k"), line.alias("value"))
         (
             hdr.unionByName(body)
             .coalesce(1)

@@ -63,8 +63,26 @@ def pregenerate(scale: str, mem: str) -> None:
     subprocess.run(cmd, capture_output=True, text=True, cwd=REPO, env=env, check=True)
 
 
-def run_once(cpus: int, scale: str, iters: str, mem: str) -> dict:
-    cmd = [
+def _pin_prefix(cpus: int, lo: int) -> list[str]:
+    """taskset core pinning (SCALING_PIN=1): confine each level's JVM to
+    exactly as many physical cores as its local[K] claims.
+
+    Without pinning a "local[2]" JVM really uses >2 cores — GC threads,
+    netty IO, the Python driver all run beside the 2 task threads — so
+    the low level is measured faster than 2 cores and efficiency is
+    UNDERSTATED.  Pinning makes the core budget real at both levels,
+    which is the honest analogue of an N-core vs 4N-core cluster
+    allocation.  Explicit core lists via SCALING_PIN_LO/SCALING_PIN_HI.
+    """
+    if os.environ.get("SCALING_PIN", "0") != "1":
+        return []
+    key = "SCALING_PIN_LO" if cpus == lo else "SCALING_PIN_HI"
+    cores = os.environ.get(key, f"0-{cpus - 1}" if cpus > 1 else "0")
+    return ["taskset", "-c", cores]
+
+
+def run_once(cpus: int, scale: str, iters: str, mem: str, lo: int) -> dict:
+    cmd = _pin_prefix(cpus, lo) + [
         sys.executable,
         os.path.join(REPO, "bench.py"),
         "--kernel-only",
@@ -101,7 +119,7 @@ def main() -> None:
     samples: dict[int, list[dict]] = {lo: [], hi: []}
     for r in range(reps):
         for cpus in (lo, hi):  # interleaved
-            res = run_once(cpus, scale, iters, mem)
+            res = run_once(cpus, scale, iters, mem, lo)
             samples[cpus].append(res)
             print(
                 f"run {r+1}/{reps} local[{cpus}]: "
@@ -131,6 +149,13 @@ def main() -> None:
         if os.environ.get("SCALING_NO_BROADCAST", "0") == "1"
         else "broadcast (zero-shuffle) SpMV"
     )
+    if os.environ.get("SCALING_PIN", "0") == "1":
+        path += (
+            f", taskset-pinned (local[{lo}] -> cores "
+            f"{os.environ.get('SCALING_PIN_LO', f'0-{lo - 1}' if lo > 1 else '0')}, "
+            f"local[{hi}] -> cores "
+            f"{os.environ.get('SCALING_PIN_HI', f'0-{hi - 1}')})"
+        )
     result = {
         "protocol": (
             f"seeded R-MAT scale {scale} (edgefactor {ef}), {iters} fixed PageRank "

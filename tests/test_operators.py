@@ -131,6 +131,36 @@ def test_iota_nziota_randperm(spark):
     assert ids == list(range(10))
 
 
+def test_dense_rank_is_jvm_side_and_window_free(spark):
+    """The global ranking under nziota/rand_perm/vec_sort must neither
+    serialize through Python workers (no PythonRDD/BatchEvalPython
+    stage) nor funnel all rows into a single-partition window (no
+    Exchange SinglePartition over the data; the P-row offset window is
+    fine — it never carries data rows)."""
+    from combblas_spark.sources.dictionary import build_dictionary
+
+    vec = spark.range(100).select(
+        F.col("id").alias("v"), (F.col("id") % 7).cast("double").alias("val")
+    )
+    plans = []
+    plans.append(IX.nziota(vec.select("v"))._jdf.queryExecution().executedPlan().toString())
+    plans.append(IX.rand_perm(spark, 50, seed=3)._jdf.queryExecution().executedPlan().toString())
+    sv, perm = IX.vec_sort(vec)
+    plans.append(sv._jdf.queryExecution().executedPlan().toString())
+    plans.append(perm._jdf.queryExecution().executedPlan().toString())
+    labels = spark.range(40).select(F.concat(F.lit("u"), F.col("id")).alias("label"))
+    plans.append(build_dictionary(labels)._jdf.queryExecution().executedPlan().toString())
+    for plan in plans:
+        assert "PythonRDD" not in plan and "BatchEvalPython" not in plan, plan
+        assert "Scan ExistingRDD" not in plan, plan
+    # ranks are still the dense total-order positions
+    expect = sorted(range(100), key=lambda j: (j % 7, j))
+    sorted_rows = {(r["v"], r["val"]) for r in sv.collect()}
+    assert sorted_rows == {(pos, float(orig % 7)) for pos, orig in enumerate(expect)}
+    ranks = {r["v"]: r["new_id"] for r in perm.collect()}
+    assert all(ranks[orig] == pos for pos, orig in enumerate(expect))
+
+
 # -- reduce -----------------------------------------------------------------
 
 def test_reduce_and_kselect(spark, ga):
