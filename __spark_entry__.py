@@ -465,6 +465,143 @@ u{k} AS MATERIALIZED (
     return "\n".join(parts)
 
 
+MCL_ITERS = 2
+MCL_K = 50
+MCL_PRUNE = 1e-4
+MCL_INFLATION = 2.0
+MCL_QUANT = 12
+# gate is fixture-bounded (spgemm_rows pattern): the full link graph's
+# Σdeg² explodes quadratically through supplier hubs as sf grows — the
+# slice keeps the CORRECTNESS gate constant-cost at any sf (MCL-at-scale
+# memory behavior is spgemm_phased's job, pytest-covered)
+MCL_MAX_SRC = 300
+
+
+def _mcl_sql(n_iter: int) -> str:
+    """Fixed-iteration MCL state, unrolled (MCL.cpp:563-620 with
+    convergence + recovery disabled): expansion = self-join,
+    prune/top-k = window, inflate+normalize = pow + per-column sum.
+    Both engines quantize to MCL_QUANT decimals after expansion and
+    after each normalize so summation noise cannot flip the top-k
+    boundary (see algos/mcl.mcl_fixed)."""
+    parts = [
+        "WITH " + EDGES_CTE.strip() + ",",
+        f"""msel AS MATERIALIZED (
+  SELECT src, dst FROM edges WHERE src <= {MCL_MAX_SRC}
+),
+sedges AS MATERIALIZED (
+  SELECT DISTINCT src, dst FROM (
+    SELECT src, dst FROM msel UNION ALL SELECT dst AS src, src AS dst FROM msel
+  )
+),
+verts AS MATERIALIZED (SELECT DISTINCT src AS v FROM sedges),
+loops AS MATERIALIZED (
+  SELECT src, dst, 1.0 AS w FROM sedges
+  UNION ALL
+  SELECT v AS src, v AS dst, 1.0 AS w FROM verts
+),
+a0 AS MATERIALIZED (
+  SELECT src, dst, round(w / sum(w) OVER (PARTITION BY dst), {MCL_QUANT}) AS w
+  FROM loops
+)""",
+    ]
+    for k in range(1, n_iter + 1):
+        parts.append(
+            f""",
+x{k} AS MATERIALIZED (
+  SELECT a.src, b.dst, round(sum(a.w * b.w), {MCL_QUANT}) AS w
+  FROM a{k-1} a JOIN a{k-1} b ON a.dst = b.src
+  GROUP BY a.src, b.dst
+),
+p{k} AS MATERIALIZED (
+  SELECT src, dst, w FROM (
+    SELECT src, dst, w,
+           row_number() OVER (PARTITION BY dst ORDER BY w DESC, src ASC) AS rn
+    FROM x{k} WHERE w >= {MCL_PRUNE}
+  ) WHERE rn <= {MCL_K}
+),
+a{k} AS MATERIALIZED (
+  SELECT src, dst,
+         round(pow(w, {MCL_INFLATION})
+               / sum(pow(w, {MCL_INFLATION})) OVER (PARTITION BY dst),
+               {MCL_QUANT}) AS w
+  FROM p{k}
+)"""
+        )
+    parts.append(f"\nSELECT src, dst, round(w, 6) AS w FROM a{n_iter}")
+    return "\n".join(parts)
+
+
+BC_SOURCES = [1, 2, 3]
+BC_DEPTH = 4
+
+
+def _betweenness_sql(sources: list[int], depth: int) -> str:
+    """Batched Brandes, fixed sources + fixed BFS depth, unrolled
+    (BetwCent.cpp:126-220): forward sigma CTEs (level-synchronous
+    shortest-path counting) then backward delta CTEs (dependency
+    accumulation deepest-first); undirected halving as in the Spark
+    path."""
+    src_rows = ", ".join(f"({s}, {s}, 0, 1.0)" for s in sources)
+    parts = [
+        "WITH " + EDGES_CTE.strip() + ",",
+        SYM_EDGES_CTE.strip() + ",",
+        f"sp0 AS MATERIALIZED (SELECT * FROM (VALUES {src_rows})"
+        " AS t(s, v, depth, sigma))",
+    ]
+    for d in range(1, depth + 1):
+        parts.append(
+            f""",
+f{d} AS MATERIALIZED (
+  SELECT * FROM (
+    SELECT fr.s, e.dst AS v, {d} AS depth, sum(fr.sigma) AS sigma
+    FROM sp{d-1} fr JOIN sedges e ON fr.v = e.src
+    WHERE fr.depth = {d-1}
+    GROUP BY fr.s, e.dst
+  ) t
+  WHERE NOT EXISTS (SELECT 1 FROM sp{d-1} p WHERE p.s = t.s AND p.v = t.v)
+),
+sp{d} AS MATERIALIZED (
+  SELECT * FROM sp{d-1} UNION ALL SELECT * FROM f{d}
+)"""
+        )
+    # backward: delta = 0 at the deepest level, accumulate upward
+    parts.append(
+        f""",
+lvl{depth} AS MATERIALIZED (
+  SELECT s, v, depth, sigma, 0.0 AS delta FROM sp{depth} WHERE depth = {depth}
+)"""
+    )
+    for d in range(depth - 1, 0, -1):
+        parts.append(
+            f""",
+c{d} AS MATERIALIZED (
+  SELECT l.s, l.v,
+         sum((l.sigma / w.sigma) * (1.0 + w.delta)) AS dsum
+  FROM sp{depth} l
+  JOIN sedges e ON l.v = e.src
+  JOIN lvl{d+1} w ON e.dst = w.v AND w.s = l.s
+  WHERE l.depth = {d}
+  GROUP BY l.s, l.v
+),
+lvl{d} AS MATERIALIZED (
+  SELECT l.s, l.v, l.depth, l.sigma, coalesce(c.dsum, 0.0) AS delta
+  FROM sp{depth} l LEFT JOIN c{d} c ON l.s = c.s AND l.v = c.v
+  WHERE l.depth = {d}
+)"""
+        )
+    union = " UNION ALL ".join(
+        f"SELECT v, delta FROM lvl{d}" for d in range(1, depth + 1)
+    )
+    parts.append(
+        f"""
+SELECT v, round(sum(delta) / 2.0, 6) AS bc
+FROM ({union})
+GROUP BY v"""
+    )
+    return "\n".join(parts)
+
+
 INDUCED_EDGES_SQL = (
     _cc_sql(CC_ROUNDS).rpartition("\nSELECT")[0]
     + f"""
@@ -818,6 +955,62 @@ def q_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sym_unit_graph(spark: SparkSession, sf_dir: str, max_src: int | None = None):
+    """Symmetrized 0/1-weight view of the link graph (SYM_EDGES_CTE);
+    ``max_src`` bounds it to the deterministic src-slice subgraph."""
+    from combblas_spark.graph import Graph
+
+    g = _graph(spark, sf_dir)
+    e = g.edges.select("src", "dst")
+    if max_src is not None:
+        e = e.filter(F.col("src") <= max_src)
+    sym = (
+        e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .withColumn("w", F.lit(1.0))
+        # pin: downstream DAGs (loops ∪ sym, per-column sums ⋈ sym, …)
+        # reference this subtree many times — without the checkpoint the
+        # orders⋈lineitem base join re-executes once per reference
+        .localCheckpoint(eager=True)
+    )
+    return Graph(edges=sym, n_partitions=g.n_partitions)
+
+
+def q_mcl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MCL flagship gate (MCL.cpp:563-620): 2 fixed expansion→prune/
+    top-k→inflate→normalize iterations on the symmetrized link graph,
+    recovery and convergence disabled so the unrolled SQL oracle
+    reproduces the exact matrix state."""
+    from combblas_spark.algos.mcl import mcl_fixed
+
+    m = mcl_fixed(
+        spark,
+        _sym_unit_graph(spark, sf_dir, max_src=MCL_MAX_SRC),
+        n_iter=MCL_ITERS,
+        inflation=MCL_INFLATION,
+        prune_below=MCL_PRUNE,
+        select_k=MCL_K,
+        quantize=MCL_QUANT,
+    )
+    return m.select("src", "dst", F.round("w", 6).alias("w"))
+
+
+def q_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched-Brandes gate (BetwCent.cpp:126-220): fixed source batch,
+    fixed BFS depth (k-hop betweenness) — deterministic, so the forward
+    sigma + backward delta recursion unrolls to SQL exactly."""
+    from combblas_spark.algos.betweenness import betweenness_centrality
+
+    bc = betweenness_centrality(
+        spark,
+        _graph(spark, sf_dir),
+        sources=BC_SOURCES,
+        symmetrize=True,
+        max_depth=BC_DEPTH,
+    )
+    return bc.select("v", F.round("bc", 6).alias("bc"))
+
+
 def q_induced_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """InducedSubgraphs coverage (SpParMat.h:108): per-component edge
     counts of the label-induced subgraphs."""
@@ -915,6 +1108,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash64": q_simhash,
         "media_features": q_media_features,
         "matching3": q_matching,
+        "mcl2": q_mcl,
+        "betweenness": q_betweenness,
         "induced_edges": q_induced_edges,
         "graph_metrics": q_graph_metrics,
         "mtx_degrees": q_mtx_degrees,
@@ -950,6 +1145,8 @@ def oracle_sql() -> dict[str, str]:
         "cosine_topk5": COSINE_TOPK_SQL,
         "embed_pairs": EMBED_PAIRS_SQL,
         "matching3": _matching_sql(MATCH_ROUNDS),
+        "mcl2": _mcl_sql(MCL_ITERS),
+        "betweenness": _betweenness_sql(BC_SOURCES, BC_DEPTH),
         "induced_edges": INDUCED_EDGES_SQL,
         "graph_metrics": GRAPH_METRICS_SQL,
         "mtx_degrees": DEGREES_SQL,

@@ -29,6 +29,7 @@ def betweenness_centrality(
     symmetrize: bool = True,
     normalize: bool = False,
     rescale_sampled: bool = False,
+    max_depth: int | None = None,
 ) -> DataFrame:
     """(v, bc) betweenness from the given source batch (all-sources
     exact BC when ``sources`` covers every vertex; approximate-by-
@@ -40,6 +41,10 @@ def betweenness_centrality(
     by n_vertices/len(sources) to estimate the full-source value.
     ``normalize`` always uses the VERTEX count n (undirected factor
     2/((n-1)(n-2)), directed 1/((n-1)(n-2))), never the sample size.
+
+    ``max_depth`` caps the forward BFS at that many levels (k-hop
+    betweenness) — the deterministic fixed-round mode the driver's SQL
+    oracle unrolls; ``None`` (default) runs to frontier exhaustion.
     """
     e = g.edges.select(SRC, DST).filter(F.col(SRC) != F.col(DST))
     if symmetrize:
@@ -59,7 +64,8 @@ def betweenness_centrality(
     sp = frontier.localCheckpoint(eager=True)
     frontier = sp
     depth = 0
-    while True:
+    deepest = 0
+    while max_depth is None or depth < max_depth:
         depth += 1
         nxt = (
             frontier.join(edges, frontier["v"] == edges[SRC], "inner")
@@ -74,7 +80,8 @@ def betweenness_centrality(
             break
         sp = sp.unionByName(nxt).localCheckpoint(eager=True)
         frontier = nxt
-    max_depth = depth - 1
+        deepest = depth
+    max_depth = deepest
 
     # backward: delta accumulates deepest-first
     deltas = sp.filter(F.col("depth") == max_depth).withColumn("delta", F.lit(0.0))

@@ -115,3 +115,45 @@ def mcl(
 
     clusters = connected_components(spark, a).withColumnRenamed("comp", "cluster")
     return MCLResult(clusters=clusters, iterations=it, chaos=chaos)
+
+
+def mcl_fixed(
+    spark: SparkSession,
+    g: Graph,
+    n_iter: int,
+    inflation: float = 2.0,
+    prune_below: float = 1e-4,
+    select_k: int = 50,
+    quantize: int = 12,
+    add_self_loops: bool = True,
+) -> DataFrame:
+    """Deterministic fixed-iteration MCL state — the oracle-gate mode.
+
+    Runs exactly ``n_iter`` expansion → prune/top-k → inflate →
+    normalize steps (MCL.cpp:563-620 with the convergence test and
+    recovery disabled) and returns the resulting column-stochastic
+    matrix as (src, dst, w).  The matrix is quantized to ``quantize``
+    decimals after expansion and after each normalize so that an
+    unrolled SQL oracle reproduces it exactly: engine-level summation
+    noise (~1e-15) can otherwise flip the top-k boundary between two
+    mathematically-tied entries and change the *support*, not just the
+    values.  1e-12 quantization kills that noise while preserving every
+    genuine distinction at the matrix's value scale (≥ prune_below =
+    1e-4 after normalization).
+    """
+    a = g
+    if add_self_loops:
+        a = a.add_loops(1.0)
+    a = _col_stochastic(a)
+    a = replace(a, edges=a.edges.withColumn(W, F.round(F.col(W), quantize)))
+    a = replace(a, edges=a.edges.localCheckpoint(eager=True))
+
+    for _ in range(n_iter):
+        a = spgemm(a, a)
+        a = replace(a, edges=a.edges.withColumn(W, F.round(F.col(W), quantize)))
+        a = mcl_prune_recovery_select(a, prune_below, select_k, 0, 0.0)
+        a = replace(a, edges=a.edges.withColumn(W, F.pow(F.col(W), inflation)))
+        a = _col_stochastic(a)
+        a = replace(a, edges=a.edges.withColumn(W, F.round(F.col(W), quantize)))
+        a = replace(a, edges=a.edges.localCheckpoint(eager=True))
+    return a.edges.select(SRC, DST, W)
