@@ -49,44 +49,57 @@ class MatrixMarketFile:
     pattern: bool
 
 
-def _scan_header(path: str) -> tuple[str, list[str], tuple[int, int, int]]:
-    """Driver-side header scan: find the file whose head carries the
-    (optional) ``%%MatrixMarket`` banner and the dims line.
+def _list_candidates(spark: SparkSession, path: str) -> list[str]:
+    """List header-candidate files under ``path`` through the Hadoop
+    FileSystem API, so any filesystem Spark itself can read (file:,
+    hdfs:, s3a:, ...) works — no local-FS ``glob``/``os.path``
+    assumption.  Success/CRC side-files (``_``/``.`` prefixes) are
+    skipped, matching what ``spark.read.text`` will scan."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    status = fs.getFileStatus(jpath)
+    if status.isFile():
+        return [status.getPath().toString()]
+    names = []
+    for s in fs.listStatus(jpath):
+        if s.isFile() and not s.getPath().getName().startswith(("_", ".")):
+            names.append(s.getPath().toString())
+    return sorted(names)
 
-    O(header bytes) driver work — the reference's ParallelReadMM
+
+def _scan_header(
+    spark: SparkSession, path: str
+) -> tuple[str, list[str], tuple[int, int, int]]:
+    """Header scan: find the file whose head carries the (optional)
+    ``%%MatrixMarket`` banner and the dims line.
+
+    O(header lines) driver work — the reference's ParallelReadMM
     likewise has every rank fseek/parse the header region before the
-    distributed byte-range parse (SpParMat.cpp:3987-4126).  On an
-    object store this becomes a ranged GET of the first KB; the bulk
-    data is never read driver-side.
+    distributed byte-range parse (SpParMat.cpp:3987-4126).  The head of
+    each candidate is fetched with ``spark.read.text(...).limit(...)``
+    (CollectLimit reads only the leading split), so an object-store URI
+    works the same as a local path and the bulk data is never pulled
+    driver-side.
     """
-    import glob
-    import os
-
-    candidates = [path] if os.path.isfile(path) else sorted(
-        f for f in glob.glob(os.path.join(path, "*"))
-        if os.path.isfile(f) and not os.path.basename(f).startswith(("_", "."))
-    )
-    for fname in candidates:
+    for fname in _list_candidates(spark, path):
         banner_toks: list[str] = []
-        with open(fname, "r", errors="replace") as fh:
-            for _ in range(10_000):
-                line = fh.readline()
-                if not line:
-                    break
-                s = line.strip()
-                if not s:
-                    continue
-                if s.startswith("%%MatrixMarket"):
-                    banner_toks = s.lower().split()
-                    continue
-                if s.startswith("%"):
-                    continue
-                parts = s.split()
-                try:
-                    m, n, nnz = int(parts[0]), int(parts[1]), int(parts[2])
-                except (ValueError, IndexError):
-                    break  # data-first file; try next candidate
-                return fname, banner_toks, (m, n, nnz)
+        head = spark.read.text(fname).limit(10_000).collect()
+        for row in head:
+            s = row["value"].strip()
+            if not s:
+                continue
+            if s.startswith("%%MatrixMarket"):
+                banner_toks = s.lower().split()
+                continue
+            if s.startswith("%"):
+                continue
+            parts = s.split()
+            try:
+                m, n, nnz = int(parts[0]), int(parts[1]), int(parts[2])
+            except (ValueError, IndexError):
+                break  # data-first file; try next candidate
+            return fname, banner_toks, (m, n, nnz)
     raise ValueError(f"no MatrixMarket dims line found under {path}")
 
 
@@ -107,9 +120,9 @@ def read_matrix_market(
     file* (Spark packs file partitions by size, so a global row-id
     minimum would be wrong for sharded inputs).
     """
-    import os
+    import posixpath
 
-    hdr_file, banner_toks, (m, n, nnz) = _scan_header(path)
+    hdr_file, banner_toks, (m, n, nnz) = _scan_header(spark, path)
     symmetric = "symmetric" in banner_toks
     pattern = "pattern" in banner_toks
 
@@ -123,7 +136,7 @@ def read_matrix_market(
         .filter(F.col("value") != "")
     )
     data = lines.filter(~F.col("value").startswith("%"))
-    hdr_base = os.path.basename(hdr_file)
+    hdr_base = posixpath.basename(hdr_file)
     # exact dims-line exclusion: one content-matching line within the
     # header file (any _mid tie is content-identical, hence
     # interchangeable — partition packing order cannot matter)
@@ -215,12 +228,15 @@ def write_matrix_market(
             .text(path)
         )
     else:
-        import os
-
         g.edges.select(line.alias("value")).write.mode("overwrite").text(path)
-        # header part named to list (and therefore parse) first
-        with open(os.path.join(path, "00000-header.mtx"), "w") as f:
-            f.write("\n".join(head) + "\n")
+        # header part named to list (and therefore parse) first; written
+        # through the Hadoop FileSystem API so object-store URIs work
+        jvm = spark._jvm
+        jpath = jvm.org.apache.hadoop.fs.Path(path + "/00000-header.mtx")
+        fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        out = fs.create(jpath, True)
+        out.write(bytearray(("\n".join(head) + "\n").encode("utf-8")))
+        out.close()
 
 
 # ---------------------------------------------------------------------------

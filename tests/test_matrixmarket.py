@@ -97,6 +97,28 @@ def test_pattern_mtx_unit_weights(spark, tmp_path):
     assert edges_set(mm.graph) == {(0, 1, 1.0), (1, 0, 1.0)}
 
 
+def test_read_scheme_qualified_uri(spark, tmp_path):
+    """The header scan goes through the Hadoop FileSystem API +
+    spark.read.text, so a scheme-qualified URI (the object-store shape
+    — here `file:` as the test double for s3a:/hdfs:) works for both a
+    single file and a sharded directory; no local open()/glob."""
+    g = FX.graph(spark, FX.SEVEN, n_partitions=4)
+    path = str(tmp_path / "sharded_uri")
+    write_matrix_market(g, path, gathered=False)
+    mm = read_matrix_market(spark, f"file://{path}", n_partitions=4)
+    assert edges_set(mm.graph) == set(FX.SEVEN)
+    assert (mm.nrows, mm.ncols, mm.nnz) == (7, 7, 12)
+
+    single = tmp_path / "one.mtx"
+    single.write_text(
+        "%%MatrixMarket matrix coordinate real general\n"
+        "2 2 1\n"
+        "1 2 3.5\n"
+    )
+    mm1 = read_matrix_market(spark, f"file://{single}", n_partitions=2)
+    assert edges_set(mm1.graph) == {(0, 1, 3.5)}
+
+
 def test_vector_roundtrip(spark, tmp_path):
     vec = spark.createDataFrame(
         [(0, 1.5), (3, -2.0), (7, 0.25)], "v long, val double"
