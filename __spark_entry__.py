@@ -1024,12 +1024,14 @@ def q_induced_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_graph_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bandwidth + Profile metrics (SpParMat.h:139-140) as one row."""
-    from combblas_spark.operators.reduce import bandwidth, profile
+    """Bandwidth + Profile metrics (SpParMat.h:139-140) as one row,
+    computed in a single fused aggregate (one driver action)."""
+    from combblas_spark.operators.reduce import bandwidth_profile
 
     g = _graph(spark, sf_dir)
+    bw, prof = bandwidth_profile(g)
     return spark.createDataFrame(
-        [(bandwidth(g), profile(g))], schema="bandwidth long, profile long"
+        [(bw, prof)], schema="bandwidth long, profile long"
     )
 
 

@@ -37,6 +37,7 @@ class MCLResult:
     clusters: DataFrame      # (v, cluster) — cluster = min member id
     iterations: int
     chaos: float
+    summary: Graph | None = None   # saved mid-run MCL state (IncClust.h:426-571)
 
 
 def _col_stochastic(g: Graph) -> Graph:
@@ -72,6 +73,8 @@ def mcl(
     eps: float = 1e-4,
     max_iter: int = 40,
     add_self_loops: bool = True,
+    summary_iter: int | None = None,
+    summary_threshold_nnz: float | None = None,
 ) -> MCLResult:
     """Run MCL; returns per-vertex cluster assignment (min-member id).
 
@@ -87,12 +90,26 @@ def mcl(
     scaled to ``recover_num=20`` for sandbox-size graphs — the ratio to
     ``select_k`` is what matters).  Without recovery, low-weight
     columns prune to near-empty and their vertices detach spuriously.
+
+    ``summary_iter`` / ``summary_threshold_nnz`` mirror the reference's
+    incremental-summary capture (IncClust.h:426-571): the MCL state at
+    iteration ``summary_iter`` (or the first state whose nnz drops
+    below ``summary_threshold_nnz × starting nnz``) is kept in
+    ``MCLResult.summary`` — the compressed representation of this
+    graph's cluster structure that ``mcl_incremental`` re-clusters
+    against when a new vertex batch arrives.  Fallback (as in
+    IncClust.h:431): the initial normalized state.
     """
     a = g
     if add_self_loops:
         a = a.add_loops(1.0)
     a = _col_stochastic(a)
     a = replace(a, edges=a.edges.localCheckpoint(eager=True))
+
+    want_summary = summary_iter is not None or summary_threshold_nnz is not None
+    summary = a if want_summary else None
+    summary_saved = False
+    nnz_start = a.edges.count() if summary_threshold_nnz is not None else 0
 
     chaos = float("inf")
     it = 0
@@ -109,12 +126,22 @@ def mcl(
         a = replace(a, edges=a.edges.localCheckpoint(eager=True))
         chaos = _chaos(a)
         it += 1
+        if want_summary and not summary_saved:
+            if summary_iter is not None and it >= summary_iter:
+                summary, summary_saved = a, True
+            elif (
+                summary_threshold_nnz is not None
+                and a.edges.count() < summary_threshold_nnz * nnz_start
+            ):
+                summary, summary_saved = a, True
 
     # Interpret: clusters = connected components of the attractor pattern
     from .components import connected_components
 
     clusters = connected_components(spark, a).withColumnRenamed("comp", "cluster")
-    return MCLResult(clusters=clusters, iterations=it, chaos=chaos)
+    return MCLResult(
+        clusters=clusters, iterations=it, chaos=chaos, summary=summary
+    )
 
 
 def mcl_fixed(

@@ -164,6 +164,27 @@ def profile(g: Graph, n_cols: int | None = None) -> int:
     return int(row["s"]) + (n_cols - int(row["c"]))
 
 
+def bandwidth_profile(g: Graph) -> tuple[int, int]:
+    """Bandwidth + Profile fused into ONE aggregate job (one
+    groupBy(dst) pass + one scalar collect) — the metrics probe
+    shouldn't cost three sequential driver actions."""
+    per_col = g.edges.groupBy(DST).agg(
+        F.min(F.when(F.col(SRC) <= F.col(DST), F.col(SRC))).alias("_first"),
+        F.max(F.abs(F.col(SRC) - F.col(DST))).alias("_bw"),
+        F.max(F.greatest(F.col(SRC), F.col(DST))).alias("_mx"),
+    )
+    row = per_col.agg(
+        F.coalesce(F.max("_bw"), F.lit(0)).alias("bw"),
+        F.coalesce(
+            F.sum(F.col(DST) - F.col("_first")), F.lit(0)
+        ).alias("s"),
+        F.count("_first").alias("c"),  # columns WITH an upper-diag entry
+        F.max(F.greatest("_mx", F.col(DST))).alias("mx"),
+    ).collect()[0]
+    n_cols = int(row["mx"] or -1) + 1
+    return int(row["bw"]), int(row["s"]) + (n_cols - int(row["c"]))
+
+
 def load_imbalance(g: Graph) -> float:
     """max/avg partition nnz ratio (SpParMat.h:99) — a metrics probe for
     the partitioning strategy."""

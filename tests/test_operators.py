@@ -299,6 +299,8 @@ def test_profile_metric(spark):
     # col0 has no upper-diag entry -> +1 (empty-column convention)
     g = FX.graph(spark, A_TRIPLES, n_partitions=2)
     assert R.profile(g) == (1 - 0) + (2 - 0) + 1
+    # the fused single-action probe must agree with the separate ops
+    assert R.bandwidth_profile(g) == (R.bandwidth(g), R.profile(g))
 
 
 def test_calculate_phases_auto(spark, ga):
