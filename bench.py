@@ -122,7 +122,7 @@ def bench_pagerank_rmat(spark, scale: int, n_iter: int, n_partitions: int,
         file=sys.stderr,
         flush=True,
     )
-    return res.loop_seconds, n_iter, m, m / med
+    return res.loop_seconds, n_iter, m, m / med, res.iter_seconds
 
 
 def main() -> None:
@@ -161,8 +161,9 @@ def main() -> None:
                           "path": args.edges_parquet}))
         spark.stop()
         return
+    iter_series: list[float] = []
     if args.rmat_scale:
-        pr_wall, pr_iters, n_edges, eps = bench_pagerank_rmat(
+        pr_wall, pr_iters, n_edges, eps, iter_series = bench_pagerank_rmat(
             spark, args.rmat_scale, args.fixed_iters, shuffle,
             broadcast=False if args.no_broadcast else None,
             edge_factor=args.edge_factor,
@@ -180,6 +181,11 @@ def main() -> None:
         "cpus": args.cpus,
         "shuffle_partitions": shuffle,
     }
+    if iter_series:
+        # raw per-iteration walls so scaling post-processing can use
+        # steal-robust estimators (host-steal events poison whole-run
+        # medians; the per-run best steady-state iteration survives)
+        extras["iter_seconds"] = [round(x, 3) for x in iter_series]
 
     # --- remaining headline queries ------------------------------------
     if not args.kernel_only:
