@@ -77,14 +77,27 @@ def mcl_incremental_step(
     """Fold one new vertex batch into an existing clustering.
 
     ``new_edges`` is (src, dst[, w]) — every edge incident to at least
-    one new vertex (M12 ∪ M21 ∪ M22 in reference terms; edges wholly
-    between old vertices are represented by the summary and are
-    ignored here).  Returns the updated assignment over old ∪ new
-    vertices plus the next summary.
+    one new vertex (M12 ∪ M21 ∪ M22 in reference terms).  Edges wholly
+    between OLD vertices are represented by the summary and are
+    dropped here before the block union — otherwise an (src, dst) pair
+    present in both the summary and ``new_edges`` would survive
+    ``unionByName`` as two rows and be plus-merged through the
+    normalization, double-counting the edge.  Returns the updated
+    assignment over old ∪ new vertices plus the next summary.
     """
-    from ..graph import W, as_edges
+    from pyspark.sql import functions as F
+
+    from ..graph import DST, SRC, W, as_edges
 
     ne = as_edges(new_edges, w=W if W in new_edges.columns else None)
+    old = state.clusters.select("v")
+    both_old = (
+        ne.join(old.withColumnRenamed("v", SRC), SRC, "left_semi")
+        .join(old.withColumnRenamed("v", DST), DST, "left_semi")
+        .select(SRC, DST)
+        .distinct()
+    )
+    ne = ne.join(both_old, [SRC, DST], "left_anti")
     minc = Graph(
         edges=state.summary.edges.unionByName(ne).localCheckpoint(eager=True),
         n_partitions=state.summary.n_partitions,

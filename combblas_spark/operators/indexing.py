@@ -138,13 +138,17 @@ def _dense_rank_by(
     """
     spark = df.sparkSession
     n_parts = max(int(spark.conf.get("spark.sql.shuffle.partitions", "32")), 1)
+    # localCheckpoint, not cache(): the offsets pass and the final join
+    # must see the SAME materialized row order (cache eviction would
+    # silently recompute and could reshuffle), and cache() entries here
+    # leaked for the session lifetime at every call site
     tagged = (
         df.repartitionByRange(n_parts, *order_cols)
         .sortWithinPartitions(*order_cols)
         .withColumn("_mid", F.monotonically_increasing_id())
         .withColumn("_pid", F.shiftrightunsigned("_mid", 33))
         .withColumn("_loc", F.col("_mid").bitwiseAND(F.lit((1 << 33) - 1)))
-        .cache()
+        .localCheckpoint(eager=True)
     )
     counts = tagged.groupBy("_pid").agg(F.count("*").alias("_n"))
     # cumulative offsets over P rows — a driver-scale window, not a data one
@@ -243,12 +247,20 @@ def vec_sort(vec: DataFrame, val_col: str = "val", ascending: bool = True):
     permutation is deterministic); ``perm`` is (v=original_index,
     new_id=rank) ready for ``subsref``/``permute_symmetric``.
     JVM-side distributed rank (see _dense_rank_by) — no global window,
-    no Python RDD in the data path."""
+    no Python RDD in the data path.
+
+    NaN contract: Spark orders NaN as the greatest double, so descending
+    puts NaN first — the negated ascending key would silently flip that
+    (-NaN is still NaN and sorts last ascending), so NaN is mapped to
+    -inf on the descending path to preserve the F.desc() placement."""
     src = vec
     if not ascending:
         # rank by a JVM-negatable key so one code path serves both
         # directions; restore the original value column afterwards
-        src = vec.withColumn("_negv", -F.col(val_col))
+        key = -F.col(val_col)
+        if vec.schema[val_col].dataType.typeName() in ("double", "float"):
+            key = F.when(F.isnan(F.col(val_col)), F.lit(float("-inf"))).otherwise(key)
+        src = vec.withColumn("_negv", key)
         order = ["_negv", "v"]
     else:
         order = [val_col, "v"]

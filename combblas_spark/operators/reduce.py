@@ -80,10 +80,17 @@ def mcl_prune_recovery_select(
     """MCLPruneRecoverySelect (ParFriends.h:200-368): hard-threshold
     prune + per-column top-k select, then 'recovery': columns left with
     fewer than ``recover_num`` entries get entries back down to their
-    ``recover_pct`` quantile."""
+    ``recover_pct`` quantile.
+
+    ``recover_num <= 0`` disables recovery explicitly (the deterministic
+    oracle-gate mode, mcl_fixed): the weak-column percentile subplan is
+    skipped entirely rather than running a vacuous aggregation every
+    iteration."""
     win = Window.partitionBy(DST).orderBy(F.col(W).desc(), F.col(SRC).asc())
     ranked = g.edges.withColumn("_rn", F.row_number().over(win))
     kept = ranked.filter((F.col(W) >= hard_threshold) & (F.col("_rn") <= select_k))
+    if recover_num <= 0:
+        return replace(g, edges=kept.select(SRC, DST, W))
     # columns that fell below recover_num after pruning — including
     # columns pruned to EMPTY (they have no kept rows at all, so the
     # weak set must come from the ORIGINAL column set minus the strong
@@ -187,14 +194,19 @@ def bandwidth_profile(g: Graph) -> tuple[int, int]:
 
 def load_imbalance(g: Graph) -> float:
     """max/avg partition nnz ratio (SpParMat.h:99) — a metrics probe for
-    the partitioning strategy."""
+    the partitioning strategy.  The average is over ALL partitions of
+    the layout (empty partitions count — they are idle executors), not
+    just the non-empty ones a groupBy(partition_id) would see."""
+    n_parts = g.edges.rdd.getNumPartitions()
     counts = (
         g.edges.groupBy(F.spark_partition_id().alias("p"))
         .count()
-        .agg(F.max("count").alias("mx"), F.avg("count").alias("av"))
+        .agg(F.max("count").alias("mx"), F.sum("count").alias("tot"))
         .collect()[0]
     )
-    return float(counts["mx"]) / float(counts["av"]) if counts["av"] else 1.0
+    if not counts["tot"] or n_parts == 0:
+        return 1.0
+    return float(counts["mx"]) / (float(counts["tot"]) / n_parts)
 
 
 def histogram(labels: DataFrame, key: str = "comp") -> DataFrame:

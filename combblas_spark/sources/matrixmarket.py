@@ -39,6 +39,10 @@ from pyspark.sql import functions as F
 from ..graph import DST, SRC, W, Graph
 
 
+#: sequential header probes before the one-job distributed head scan
+_HEADER_SCAN_CAP = 8
+
+
 @dataclass
 class MatrixMarketFile:
     graph: Graph
@@ -81,25 +85,76 @@ def _scan_header(
     (CollectLimit reads only the leading split), so an object-store URI
     works the same as a local path and the bulk data is never pulled
     driver-side.
+
+    The sequential per-file scan is CAPPED at the first few candidates
+    (the writer puts the header in the lexicographically-first part, and
+    single-file inputs hit immediately); a sharded directory whose
+    leading shards are all data-first falls back to ONE distributed job
+    that fetches every file's head lines at once — O(files) Spark jobs
+    never happens.
     """
-    for fname in _list_candidates(spark, path):
-        banner_toks: list[str] = []
-        head = spark.read.text(fname).limit(10_000).collect()
-        for row in head:
+    import posixpath
+
+    candidates = _list_candidates(spark, path)
+    # (banner_line | None, first_non_comment_line | None) per basename
+    scanned: dict[str, tuple[str | None, str | None]] = {}
+    for fname in candidates[:_HEADER_SCAN_CAP]:
+        banner, first = None, None
+        for row in spark.read.text(fname).limit(10_000).collect():
             s = row["value"].strip()
             if not s:
                 continue
             if s.startswith("%%MatrixMarket"):
-                banner_toks = s.lower().split()
+                banner = banner or s
                 continue
             if s.startswith("%"):
                 continue
-            parts = s.split()
-            try:
-                m, n, nnz = int(parts[0]), int(parts[1]), int(parts[2])
-            except (ValueError, IndexError):
-                break  # data-first file; try next candidate
-            return fname, banner_toks, (m, n, nnz)
+            first = s
+            break
+        scanned[posixpath.basename(fname)] = (banner, first)
+    if len(candidates) > _HEADER_SCAN_CAP:
+        # ONE distributed job over all remaining candidates: keep only
+        # banner lines and non-comment lines, then a map-side-combined
+        # min-per-file aggregate yields each file's banner + first
+        # non-comment line (monotonically_increasing_id orders rows
+        # within each file's leading split, where both lines live)
+        rest = candidates[_HEADER_SCAN_CAP:]
+        v = F.trim("value")
+        lines = (
+            spark.read.text(rest)
+            .select(
+                F.input_file_name().alias("_f"),
+                F.monotonically_increasing_id().alias("_mid"),
+                v.alias("v"),
+            )
+            .filter(v != "")
+            .withColumn("_banner", F.col("v").startswith("%%MatrixMarket"))
+            .filter(F.col("_banner") | ~F.col("v").startswith("%"))
+        )
+        agg = (
+            lines.groupBy("_f")
+            .agg(
+                F.min(F.when(F.col("_banner"), F.struct("_mid", "v"))).alias("_b"),
+                F.min(F.when(~F.col("_banner"), F.struct("_mid", "v"))).alias("_d"),
+            )
+            .collect()
+        )
+        for r in agg:
+            scanned[posixpath.basename(r["_f"])] = (
+                r["_b"]["v"] if r["_b"] is not None else None,
+                r["_d"]["v"] if r["_d"] is not None else None,
+            )
+    for fname in candidates:
+        banner, first = scanned.get(posixpath.basename(fname), (None, None))
+        banner_toks = banner.lower().split() if banner else []
+        if first is None:
+            continue
+        parts = first.split()
+        try:
+            m, n, nnz = int(parts[0]), int(parts[1]), int(parts[2])
+        except (ValueError, IndexError):
+            continue  # data-first file; try next candidate
+        return fname, banner_toks, (m, n, nnz)
     raise ValueError(f"no MatrixMarket dims line found under {path}")
 
 

@@ -150,9 +150,17 @@ def test_dense_rank_is_jvm_side_and_window_free(spark):
     plans.append(perm._jdf.queryExecution().executedPlan().toString())
     labels = spark.range(40).select(F.concat(F.lit("u"), F.col("id")).alias("label"))
     plans.append(build_dictionary(labels)._jdf.queryExecution().executedPlan().toString())
+    import inspect
+
+    # no Python serialization anywhere in the ranking path: neither a
+    # Python-RDD zipWithIndex (source-level pin) nor any Python eval
+    # node in the executed plans.  (A JVM-side "Scan ExistingRDD" is
+    # expected now: _dense_rank_by pins its row order with an eager
+    # localCheckpoint, which scans block-manager RDDs — still 100% JVM.)
+    assert ".zipWithIndex(" not in inspect.getsource(IX)
     for plan in plans:
         assert "PythonRDD" not in plan and "BatchEvalPython" not in plan, plan
-        assert "Scan ExistingRDD" not in plan, plan
+        assert "ArrowEvalPython" not in plan and "MapInPandas" not in plan, plan
     # ranks are still the dense total-order positions
     expect = sorted(range(100), key=lambda j: (j % 7, j))
     sorted_rows = {(r["v"], r["val"]) for r in sv.collect()}
@@ -342,3 +350,31 @@ def test_drop_isolated_compacts_id_space(spark):
     p = {r["v"]: r["new_id"] for r in perm.collect()}
     assert p == {5: 0, 90: 1, 300: 2}
     assert edges_set(g2) == {(0, 1, 1.0), (1, 2, 2.0)}
+
+
+def test_perm_edges_preserves_multiset(spark, ga):
+    from combblas_spark.sources.generators import perm_edges
+
+    shuffled = perm_edges(ga.edges, seed=7, n_partitions=4)
+    assert sorted(tuple(r) for r in shuffled.collect()) == sorted(
+        tuple(r) for r in ga.edges.collect()
+    )
+    assert shuffled.rdd.getNumPartitions() == 4
+
+
+def test_prune_column_by_index(spark, ga):
+    # PruneColumnByIndex: whole listed columns vanish, others untouched
+    cols = spark.createDataFrame([(2,), (7,)], "v long")
+    out = E.prune_column_by_index(ga, cols)
+    assert edges_set(out) == {(s, d, w) for s, d, w in A_TRIPLES if d != 2}
+
+
+def test_load_imbalance(spark):
+    # all edges hashed to one src key -> one partition holds everything
+    skewed = FX.graph(spark, [(1, d, 1.0) for d in range(2, 34)], n_partitions=8)
+    ratio = R.load_imbalance(skewed)
+    assert ratio >= 4.0  # 32 rows on 1 of >=4 non-empty-capable partitions
+    balanced = FX.graph(
+        spark, [(s, s + 1, 1.0) for s in range(64)], n_partitions=8
+    )
+    assert R.load_imbalance(balanced) < R.load_imbalance(skewed) + 1e-9
