@@ -12,11 +12,26 @@ value-hash is insensitive to summation order.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import Window
+
+#: pinned oracle fixtures (scripts/make_oracle_fixtures.py) — parquet
+#: tables produced by implementations INDEPENDENT of the Spark code
+#: (pure-Python XXH64 / pinned scalar SimHash / pure link rule), read
+#: by the DuckDB oracle via read_parquet so the seeded-hash queries get
+#: full value gates instead of rows-only checks.  Regenerate whenever
+#: /root/testdata (sf0.01) or the page generator changes.
+_FIXDIR = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "dist", "oracle_fixtures"
+)
+
+
+def _fixture(name: str) -> str:
+    return os.path.join(_FIXDIR, name)
 
 ALPHA = 0.85
 PR_ITERS = 5
@@ -54,9 +69,9 @@ sedges AS MATERIALIZED (
 )"""
 
 
-def _pagerank_sql(n_iter: int) -> str:
+def _pagerank_sql(n_iter: int, edges_cte: str = EDGES_CTE) -> str:
     parts = [
-        "WITH " + EDGES_CTE.strip() + ",",
+        "WITH " + edges_cte.strip() + ",",
         """verts AS MATERIALIZED (
   SELECT DISTINCT v FROM (SELECT src AS v FROM edges UNION ALL SELECT dst AS v FROM edges)
 ),
@@ -636,6 +651,152 @@ SELECT doc_id, length(text) AS chars,
 FROM documents
 """
 
+MIS_ROUNDS = 10  # ≥ the Luby convergence round count at sf0.01 (extra
+                 # rounds are empty CTEs — the unroll is convergence-safe)
+
+
+def _mis_sql(rounds: int) -> str:
+    """Luby MIS unrolled (FilteredMIS.cpp semantics, algos/mis.py):
+    per round, a still-active vertex wins when its (pri, id) beats the
+    min over its still-active neighbors; winners' neighborhoods
+    deactivate.  Priorities come from the pinned fixture (pure-Python
+    XXH64 of the seeded chain — not SQL-expressible, so it is
+    materialized; the Spark side computes them live via F.xxhash64 and
+    matches iff the JVM hash chain equals the pinned reference)."""
+    pri = _fixture("mis_priorities.parquet")
+    parts = [
+        "WITH " + EDGES_CTE.strip() + ",",
+        SYM_EDGES_CTE.strip() + ",",
+        f"a0 AS MATERIALIZED (SELECT v, pri FROM read_parquet('{pri}'))",
+    ]
+    for k in range(1, rounds + 1):
+        parts.append(
+            f""",
+nb{k} AS MATERIALIZED (
+  SELECT v, pri, nv FROM (
+    SELECT e.dst AS v, s.pri AS pri, s.v AS nv,
+           row_number() OVER (PARTITION BY e.dst ORDER BY s.pri, s.v) AS rn
+    FROM sedges e JOIN a{k-1} s ON e.src = s.v JOIN a{k-1} t ON e.dst = t.v
+  ) WHERE rn = 1
+),
+w{k} AS MATERIALIZED (
+  SELECT a.v FROM a{k-1} a LEFT JOIN nb{k} m ON a.v = m.v
+  WHERE m.v IS NULL OR (a.pri < m.pri) OR (a.pri = m.pri AND a.v < m.nv)
+),
+rm{k} AS MATERIALIZED (
+  SELECT DISTINCT e.dst AS v FROM sedges e JOIN w{k} w ON e.src = w.v
+),
+a{k} AS MATERIALIZED (
+  SELECT a.v, a.pri FROM a{k-1} a
+  WHERE NOT EXISTS (SELECT 1 FROM w{k} w WHERE w.v = a.v)
+    AND NOT EXISTS (SELECT 1 FROM rm{k} r WHERE r.v = a.v)
+)"""
+        )
+    union = " UNION ALL ".join(f"SELECT v FROM w{k}" for k in range(1, rounds + 1))
+    parts.append("\n" + union)
+    return "\n".join(parts)
+
+
+MINHASH_HASHES = 64
+MINHASH_BANDS = 16
+
+
+def _minhash_lsh_sql(
+    n_hashes: int = MINHASH_HASHES,
+    bands: int = MINHASH_BANDS,
+    threshold: float = JACCARD_T,
+) -> str:
+    """MinHash+LSH over the pinned signature fixture: banding is a
+    slice-equality self-join (exactly the Spark side's array-key join),
+    verification is exact distinct-gram Jaccard recomputed from the
+    documents table in SQL.  A green row certifies both the JVM
+    signature computation (vs the pure-Python pinned fixture) and the
+    banding/verification pipeline."""
+    r = n_hashes // bands
+    sig = _fixture("minhash_sigs.parquet")
+    return f"""
+WITH sig AS MATERIALIZED (
+  SELECT doc_id, sig FROM read_parquet('{sig}')
+),
+bkeys AS MATERIALIZED (
+  SELECT doc_id, b, sig[b*{r}+1 : b*{r}+{r}] AS key
+  FROM sig, UNNEST(range(0, {bands})) AS u(b)
+),
+cand AS MATERIALIZED (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+  FROM bkeys x JOIN bkeys y
+    ON x.b = y.b AND x.key = y.key AND x.doc_id < y.doc_id
+),
+toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+grams AS MATERIALIZED (
+  SELECT DISTINCT doc_id, list_aggregate(t[i:i+{JACCARD_N-1}], 'string_agg', ' ') AS gram
+  FROM toks, UNNEST(range(1, len(t) - {JACCARD_N - 2})) AS u(i)
+),
+sz AS MATERIALIZED (SELECT doc_id, count(*) AS sz FROM grams GROUP BY doc_id),
+inter AS MATERIALIZED (
+  SELECT c.a, c.b, count(*) AS inter
+  FROM cand c
+  JOIN grams ga ON ga.doc_id = c.a
+  JOIN grams gb ON gb.doc_id = c.b AND ga.gram = gb.gram
+  GROUP BY c.a, c.b
+)
+SELECT i.a, i.b, round(i.inter / (sa.sz + sb.sz - i.inter), 6) AS jaccard
+FROM inter i
+JOIN sz sa ON sa.doc_id = i.a JOIN sz sb ON sb.doc_id = i.b
+WHERE round(i.inter / (sa.sz + sb.sz - i.inter), 6) >= {threshold}
+"""
+
+
+def _simhash_sql() -> str:
+    """Pinned-signature oracle: the Spark side computes the 64-bit
+    SimHash live (100% JVM); the fixture holds the pinned scalar
+    reference (pipeline/dedup.simhash_py semantics) — equal row sets
+    iff the JVM computation is byte-exact (the mtx_degrees round-trip
+    pattern)."""
+    return f"SELECT doc_id, simhash FROM read_parquet('{_fixture('simhash_sigs.parquet')}')"
+
+
+SIMHASH_MAX_HAMMING = 3
+
+
+def _simhash_pairs_sql(max_hamming: int = SIMHASH_MAX_HAMMING) -> str:
+    """SimHash block-LSH retrieval over the pinned signatures: 4×16-bit
+    block keys (pigeonhole for distance ≤ 3), integer bit ops for the
+    exact Hamming verify — the SQL mirror of dedup.simhash_near_pairs."""
+    sig = _fixture("simhash_sigs.parquet")
+    return f"""
+WITH sig AS MATERIALIZED (
+  SELECT doc_id, simhash FROM read_parquet('{sig}')
+),
+keyed AS MATERIALIZED (
+  SELECT doc_id, simhash, b, (simhash >> (b * 16)) & 65535 AS key
+  FROM sig, UNNEST(range(0, 4)) AS u(b)
+)
+SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
+       bit_count(xor(x.simhash, y.simhash)) AS hamming
+FROM keyed x JOIN keyed y
+  ON x.b = y.b AND x.key = y.key AND x.doc_id < y.doc_id
+WHERE bit_count(xor(x.simhash, y.simhash)) <= {max_hamming}
+"""
+
+
+WEBGRAPH_EDGES_CTE_TEMPLATE = """
+edges AS MATERIALIZED (
+  SELECT src, dst, w FROM read_parquet('{path}')
+)"""
+
+
+def _webgraph_pagerank_sql(n_iter: int) -> str:
+    """PageRank unroll over the pinned extracted-edge fixture: the
+    Spark side runs the full live ingest (synthetic pages → Arrow-UDF
+    link extraction → url→id dictionary → graph → PageRank); the
+    oracle runs the same PageRank recursion on edges produced by the
+    PURE link rule + lexicographic dictionary (make_oracle_fixtures) —
+    a green row certifies extraction, dictionary, graph assembly and
+    the PageRank kernel end to end."""
+    cte = WEBGRAPH_EDGES_CTE_TEMPLATE.format(path=_fixture("webgraph_edges.parquet"))
+    return _pagerank_sql(n_iter, edges_cte=cte)
+
 
 # ---------------------------------------------------------------------------
 # Spark query implementations
@@ -841,19 +1002,32 @@ def q_embed_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """rows-only gate (LSH recall < 1 by design); exactness is covered
-    by q_ngram_jaccard and pytest cross-validation."""
+    """Full oracle gate: JVM signatures + slice-equality banding +
+    exact-Jaccard verification vs the pinned pure-Python signature
+    fixture banded/verified in SQL (_minhash_lsh_sql)."""
     from combblas_spark.pipeline.dedup import minhash_lsh_pairs
 
     return minhash_lsh_pairs(_docs(spark, sf_dir), threshold=JACCARD_T)
 
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """rows-only gate; byte-exactness vs the pinned scalar reference is
-    asserted in tests/test_pipeline.py."""
+    """Full oracle gate: the live JVM signature computation must equal
+    the pinned scalar-reference fixture row for row (byte-exactness,
+    previously pytest-only — now driver-visible)."""
     from combblas_spark.pipeline.dedup import simhash_signatures
 
     return simhash_signatures(_docs(spark, sf_dir))
+
+
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash Hamming-≤3 retrieval via 16-bit block LSH; the oracle
+    reruns the block retrieval with integer bit ops over the pinned
+    signatures (_simhash_pairs_sql)."""
+    from combblas_spark.pipeline.dedup import simhash_near_pairs
+
+    return simhash_near_pairs(
+        _docs(spark, sf_dir), max_hamming=SIMHASH_MAX_HAMMING
+    )
 
 
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -934,8 +1108,10 @@ def q_cc_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_mis(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """rows-only gate (seeded xxhash64 priorities are not reproducible
-    in ANSI SQL); independence+maximality invariants in tests."""
+    """Full oracle gate: Luby rounds unrolled in SQL over the pinned
+    priority fixture (seeded xxhash64 priorities are materialized, not
+    recomputed, on the DuckDB side); independence+maximality invariants
+    stay in tests."""
     from combblas_spark.algos.mis import maximal_independent_set
 
     return maximal_independent_set(spark, _graph(spark, sf_dir), seed=42)
@@ -1058,9 +1234,11 @@ def q_mtx_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_webgraph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """rows-only gate: the full north-star ingest path — synthetic
+    """Full oracle gate for the north-star ingest path — synthetic
     Common-Crawl-style pages → Arrow-UDF text/link extraction → url→id
-    dictionary → PageRank (html parsing is not SQL-expressible)."""
+    dictionary → PageRank; the oracle unrolls PageRank over the pinned
+    pure-link-rule edge fixture (html parsing itself is not
+    SQL-expressible, so the extracted edges are materialized)."""
     from combblas_spark.algos.pagerank import pagerank_fixed
     from combblas_spark.sources.webgraph import synth_web_graph
 
@@ -1108,6 +1286,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_pairs": q_embed_pairs,
         "minhash_lsh": q_minhash_lsh,
         "simhash64": q_simhash,
+        "simhash_pairs": q_simhash_pairs,
         "media_features": q_media_features,
         "matching3": q_matching,
         "mcl2": q_mcl,
@@ -1155,7 +1334,13 @@ def oracle_sql() -> dict[str, str]:
         "sessionize": SESSIONIZE_SQL,
         "moving_avg7": MOVING_AVG_SQL,
         "cc_hist": _cc_hist_sql(CC_ROUNDS),
-        # minhash_lsh / simhash64 / media_features / webgraph_pagerank / mis:
-        # intentionally rows-only (approximate recall or non-SQL input);
-        # cross-validated in tests/ instead.
+        # pinned-fixture oracles (dist/oracle_fixtures, generated by the
+        # independent pure-Python references in make_oracle_fixtures.py)
+        "mis": _mis_sql(MIS_ROUNDS),
+        "minhash_lsh": _minhash_lsh_sql(),
+        "simhash64": _simhash_sql(),
+        "simhash_pairs": _simhash_pairs_sql(),
+        "webgraph_pagerank": _webgraph_pagerank_sql(PR_ITERS),
+        # media_features: intentionally rows-only (binary media decode
+        # is not SQL-expressible); schema/determinism pinned in tests/.
     }

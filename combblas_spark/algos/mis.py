@@ -53,7 +53,10 @@ def maximal_independent_set(
 
     active = (
         edges.select(F.col(SRC).alias("v")).distinct()
-        .withColumn("pri", F.xxhash64(F.col("v"), F.lit(seed)))
+        # seed cast to LONG so the chain is two 8-byte XXH64 rounds —
+        # reproducible by functions/xxh.spark_xxhash64_longs and pinned
+        # in the driver's mis_priorities oracle fixture
+        .withColumn("pri", F.xxhash64(F.col("v"), F.lit(seed).cast("long")))
         .localCheckpoint(eager=True)
     )
     n_active = active.count()

@@ -195,10 +195,15 @@ def minhash_lsh_pairs(
         F.array(*[F.col(f"_h{i}") for i in range(n_hashes)]).alias("sig"),
     )
     band_idx = F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band")
+    # the band key is the r-slice ITSELF (array equality join) — same
+    # shuffle cost as a hashed key, but candidate semantics are exactly
+    # "all r minhashes agree" with no 32-bit hash-collision candidates,
+    # so the driver's SQL oracle (slice-equality join over the pinned
+    # signature fixture) reproduces the pair set bit-for-bit
     keys = sigs.select("doc_id", "sig", band_idx).select(
         "doc_id",
         "band",
-        F.hash(F.slice(F.col("sig"), F.col("band") * r + 1, r)).alias("key"),
+        F.slice(F.col("sig"), F.col("band") * r + 1, r).alias("key"),
     )
     # self-join per band bucket; dedup pairs that collide in many bands
     ka = keys.select(F.col("doc_id").alias("a"), "band", "key")

@@ -1,0 +1,241 @@
+"""Generate the pinned oracle-fixture parquet tables under
+``dist/oracle_fixtures/`` that let the driver's DuckDB oracle gate the
+seeded-hash queries (VERDICT r3 next-round #1).
+
+Every fixture is produced by an implementation INDEPENDENT of the
+Spark code under test (the pure-Python XXH64 reference in
+functions/xxh.py, the pinned scalar SimHash, the pure link-rule edge
+builder) so a green driver row genuinely cross-validates the JVM
+computation — the same role the reference's golden-output files play
+(ReleaseTests/CMakeLists.txt:49-60).
+
+Fixtures (regenerate with ``python scripts/make_oracle_fixtures.py``
+whenever /root/testdata or the generators change):
+
+* ``webgraph_edges.parquet`` (src, dst, w) — the 256-page seed-42
+  synthetic crawl's link graph, built from the pure link rule
+  (sources/pages.link_targets) + lexicographic url->id dictionary;
+  oracles q_webgraph_pagerank's live extract->dictionary->graph path.
+* ``mis_priorities.parquet`` (v, pri) — seeded vertex priorities
+  (pure-Python xxhash64 chain) for the sf0.01 link-graph vertex set;
+  oracles q_mis's Luby rounds.
+* ``minhash_sigs.parquet`` (doc_id, sig: list<int64>) — 64-hash
+  minwise signatures of the sf0.01 documents (pure-Python/numpy XXH64);
+  oracles q_minhash_lsh's banding + verification.
+* ``simhash_sigs.parquet`` (doc_id, simhash: int64) — pinned scalar
+  SimHash of the sf0.01 documents; oracles q_simhash (signatures) and
+  q_simhash_pairs (block-LSH retrieval).
+"""
+
+from __future__ import annotations
+
+import os
+import struct
+import sys
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from combblas_spark.functions.xxh import xxh64, xxh64_signed  # noqa: E402
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+OUT = os.path.join(REPO, "dist", "oracle_fixtures")
+SF_DIR = os.environ.get("SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.01")
+
+_P1 = np.uint64(0x9E3779B185EBCA87)
+_P2 = np.uint64(0xC2B2AE3D27D4EB4F)
+_P3 = np.uint64(0x165667B19E3779F9)
+_P4 = np.uint64(0x85EBCA77C2B2AE63)
+_P5 = np.uint64(0x27D4EB2F165667C5)
+
+
+def _rotl(x: np.ndarray, r: int) -> np.ndarray:
+    r = np.uint64(r)
+    return (x << r) | (x >> (np.uint64(64) - r))
+
+
+def xxh64_u64_vec(vals: np.ndarray, seed: int) -> np.ndarray:
+    """Vectorized XXH64 of each value's 8 little-endian bytes (the
+    n == 8 path of functions/xxh.xxh64) — verified against the scalar
+    reference below."""
+    x = vals.astype(np.uint64)
+    h = np.uint64((seed + int(_P5) + 8) & ((1 << 64) - 1))
+    k1 = _rotl(x * _P2, 31) * _P1
+    h = h ^ k1
+    h = _rotl(h, 27) * _P1 + _P4
+    h ^= h >> np.uint64(33)
+    h *= _P2
+    h ^= h >> np.uint64(29)
+    h *= _P3
+    h ^= h >> np.uint64(32)
+    return h
+
+
+def _check_vec():
+    rng = np.random.default_rng(0)
+    sample = rng.integers(-(1 << 62), 1 << 62, size=64, dtype=np.int64)
+    for seed in (42, 7, (1 << 63) - 12345):
+        got = xxh64_u64_vec(sample, seed)
+        for v, g in zip(sample, got):
+            want = xxh64(struct.pack("<q", int(v)), seed)
+            assert int(g) == want, (v, seed)
+
+
+def _signed(u: np.ndarray) -> np.ndarray:
+    return u.astype(np.int64)
+
+
+def _family_key(family: int, seed: int) -> int:
+    k = (seed * 0x9E3779B97F4A7C15 + family) & ((1 << 64) - 1)
+    return k - (1 << 64) if k >= 1 << 63 else k
+
+
+def make_webgraph_edges(n_pages: int = 256, seed: int = 42) -> None:
+    from combblas_spark.sources.pages import link_targets, page_url
+
+    urls = sorted(page_url(i) for i in range(n_pages))
+    ids = {u: k for k, u in enumerate(urls)}
+    rows: dict[tuple[int, int], float] = {}
+    for i in range(n_pages):
+        s = ids[page_url(i)]
+        for t in link_targets(i, n_pages, seed):
+            d = ids[page_url(t)]
+            if s != d:
+                rows[(s, d)] = rows.get((s, d), 0.0) + 1.0
+    src, dst, w = zip(*sorted((s, d, x) for (s, d), x in rows.items()))
+    pq.write_table(
+        pa.table(
+            {
+                "src": pa.array(src, pa.int64()),
+                "dst": pa.array(dst, pa.int64()),
+                "w": pa.array(w, pa.float64()),
+            }
+        ),
+        os.path.join(OUT, "webgraph_edges.parquet"),
+    )
+    print(f"webgraph_edges: {len(src)} edges over {n_pages} pages")
+
+
+def make_mis_priorities(seed: int = 42) -> None:
+    import duckdb
+
+    con = duckdb.connect()
+    vs = con.execute(
+        f"""
+        WITH edges AS (
+          SELECT o.o_custkey AS src, l.l_suppkey + 1000000 AS dst
+          FROM read_parquet('{SF_DIR}/orders.parquet') o
+          JOIN read_parquet('{SF_DIR}/lineitem.parquet') l
+            ON o.o_orderkey = l.l_orderkey
+          GROUP BY 1, 2
+        )
+        SELECT DISTINCT v FROM (
+          SELECT src AS v FROM edges UNION ALL SELECT dst FROM edges
+        ) ORDER BY v
+        """
+    ).fetchnumpy()["v"].astype(np.int64)
+    # F.xxhash64(col('v'), lit(seed).cast('long')): chain v then seed,
+    # initial seed 42 (functions/xxh.spark_xxhash64_longs semantics)
+    h = xxh64_u64_vec(vs, 42)
+    pri = np.empty_like(h)
+    for i, hv in enumerate(h):  # second link's seed differs per row
+        pri[i] = xxh64(struct.pack("<q", seed), int(hv))
+    pq.write_table(
+        pa.table(
+            {
+                "v": pa.array(vs, pa.int64()),
+                "pri": pa.array(_signed(pri), pa.int64()),
+            }
+        ),
+        os.path.join(OUT, "mis_priorities.parquet"),
+    )
+    print(f"mis_priorities: {len(vs)} vertices from {SF_DIR}")
+
+
+def _load_docs() -> list[tuple[int, str]]:
+    import duckdb
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT doc_id, text FROM read_parquet('{SF_DIR}/documents.parquet') "
+        "ORDER BY doc_id"
+    ).fetchall()
+    return [(int(d), t) for d, t in rows]
+
+
+def make_minhash_sigs(n_hashes: int = 64, shingle_n: int = 3, seed: int = 42) -> None:
+    docs = _load_docs()
+    keys = [_family_key(i, seed) for i in range(n_hashes)]
+    # chain: F.xxhash64(lit(key).cast('long'), base) = xxh64(le(key), 42)
+    # then xxh64(le(base), that) — the first link is a per-family scalar
+    key_seeds = [xxh64(struct.pack("<q", k), 42) for k in keys]
+    doc_ids, sigs = [], []
+    for doc_id, text in docs:
+        toks = text.split(" ")
+        grams = list(
+            dict.fromkeys(
+                " ".join(toks[i : i + shingle_n])
+                for i in range(len(toks) - shingle_n + 1)
+            )
+        )
+        if not grams:
+            continue  # no signature for empty docs (matches Spark)
+        base = np.array(
+            [xxh64_signed(g.encode("utf-8")) for g in grams], dtype=np.int64
+        )
+        sig = [
+            int(_signed(xxh64_u64_vec(base, ks)).min()) for ks in key_seeds
+        ]
+        doc_ids.append(doc_id)
+        sigs.append(sig)
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(doc_ids, pa.int64()),
+                "sig": pa.array(sigs, pa.list_(pa.int64())),
+            }
+        ),
+        os.path.join(OUT, "minhash_sigs.parquet"),
+    )
+    print(f"minhash_sigs: {len(doc_ids)} docs x {n_hashes} hashes from {SF_DIR}")
+
+
+def make_simhash_sigs() -> None:
+    docs = _load_docs()
+    doc_ids, sigs = [], []
+    bitpos = np.arange(64, dtype=np.uint64)
+    for doc_id, text in docs:
+        toks = text.split(" ")
+        h = np.array(
+            [xxh64(t.encode("utf-8")) for t in toks], dtype=np.uint64
+        )
+        bits = ((h[:, None] >> bitpos[None, :]) & np.uint64(1)).astype(np.int64)
+        acc = (bits * 2 - 1).sum(axis=0)
+        v = 0
+        for i in range(64):
+            if acc[i] > 0:
+                v |= 1 << i
+        doc_ids.append(doc_id)
+        sigs.append(v - (1 << 64) if v >= 1 << 63 else v)
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(doc_ids, pa.int64()),
+                "simhash": pa.array(sigs, pa.int64()),
+            }
+        ),
+        os.path.join(OUT, "simhash_sigs.parquet"),
+    )
+    print(f"simhash_sigs: {len(doc_ids)} docs from {SF_DIR}")
+
+
+if __name__ == "__main__":
+    os.makedirs(OUT, exist_ok=True)
+    _check_vec()
+    make_webgraph_edges()
+    make_mis_priorities()
+    make_minhash_sigs()
+    make_simhash_sigs()
