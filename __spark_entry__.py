@@ -480,6 +480,174 @@ u{k} AS MATERIALIZED (
     return "\n".join(parts)
 
 
+RCM_LEVELS = 8  # ≥ BFS eccentricity from the RCM source at sf0.01
+                # (measured 4; extra levels are empty CTEs)
+
+
+def _rcm_sql(levels: int) -> str:
+    """Reverse Cuthill-McKee unrolled (Ordering/RCM.cpp semantics,
+    algos/matching.rcm_ordering): min-(degree, id) source, BFS levels
+    over the symmetrized pattern, rank by (level, degree, id), order
+    reversed.  Unreached vertices sort after the reached ones via the
+    1<<30 level sentinel, exactly as the Spark side."""
+    parts = [
+        "WITH " + EDGES_CTE.strip() + ",",
+        SYM_EDGES_CTE.strip() + ",",
+        """deg AS MATERIALIZED (SELECT src AS v, count(*) AS deg FROM sedges GROUP BY src),
+srcv AS MATERIALIZED (SELECT v FROM deg ORDER BY deg, v LIMIT 1),
+p0 AS MATERIALIZED (SELECT v, 0 AS level FROM srcv),
+f0 AS MATERIALIZED (SELECT v FROM p0)""",
+    ]
+    for k in range(1, levels + 1):
+        parts.append(
+            f""",
+n{k} AS MATERIALIZED (
+  SELECT DISTINCT e.dst AS v FROM sedges e JOIN f{k-1} f ON e.src = f.v
+  WHERE NOT EXISTS (SELECT 1 FROM p{k-1} p WHERE p.v = e.dst)
+),
+p{k} AS MATERIALIZED (
+  SELECT * FROM p{k-1} UNION ALL SELECT v, {k} AS level FROM n{k}
+),
+f{k} AS MATERIALIZED (SELECT v FROM n{k})"""
+        )
+    parts.append(
+        f""",
+keyed AS MATERIALIZED (
+  SELECT d.v, coalesce(p.level, 1073741824) AS lvl, d.deg
+  FROM deg d LEFT JOIN p{levels} p ON d.v = p.v
+),
+nv AS MATERIALIZED (SELECT count(*) AS n FROM deg)
+SELECT v,
+       (SELECT n FROM nv) - CAST(row_number() OVER (ORDER BY lvl, deg, v) AS BIGINT)
+       AS new_id
+FROM keyed"""
+    )
+    return "\n".join(parts)
+
+
+# maximum-matching gate slice: per-src 2 smallest suppliers over the
+# first 61 customers — the smallest deterministic slice of the link
+# graph where GREEDY IS NOT MAXIMUM (measured greedy 16 < maximum 18
+# at sf0.01), so the gate exercises a real MS-BFS augmentation phase
+MATCH_SLICE_SRC = 60
+MATCH_SLICE_K = 2
+MATCHMAX_GREEDY_ROUNDS = 4  # measured 2 to convergence; extras empty
+MATCHMAX_BFS_DEPTH = 4      # measured 2
+MATCHMAX_WALK_STEPS = 4     # measured 2
+
+
+def _matching_max_sql(
+    greedy_rounds: int = MATCHMAX_GREEDY_ROUNDS,
+    bfs_depth: int = MATCHMAX_BFS_DEPTH,
+    walk_steps: int = MATCHMAX_WALK_STEPS,
+) -> str:
+    """Maximum-cardinality bipartite matching unrolled
+    (BPMaximumMatching.h:231-420 / algos/matching.maximum_bipartite_matching):
+    greedy maximal init, ONE MS-BFS phase from all unmatched columns
+    through alternating edges (min-(pc, root) row adoption, min
+    unmatched row per root as the augmenting-path leaf), then the
+    leaf→root pointer-flip walk.  The measured sf0.01 slice needs one
+    phase (the second finds no augmenting path), so a single unrolled
+    phase reproduces the converged Spark result exactly."""
+    parts = [
+        "WITH " + EDGES_CTE.strip() + ",",
+        f"""sl AS MATERIALIZED (
+  SELECT src, dst FROM (
+    SELECT src, dst, row_number() OVER (PARTITION BY src ORDER BY dst) AS rn
+    FROM edges WHERE src <= {MATCH_SLICE_SRC}
+  ) WHERE rn <= {MATCH_SLICE_K}
+),
+u0 AS MATERIALIZED (SELECT src, dst FROM sl)""",
+    ]
+    for k in range(1, greedy_rounds + 1):
+        parts.append(
+            f""",
+gp{k} AS MATERIALIZED (SELECT dst, min(src) AS src FROM u{k-1} GROUP BY dst),
+gm{k} AS MATERIALIZED (SELECT src, min(dst) AS dst FROM gp{k} GROUP BY src),
+u{k} AS MATERIALIZED (
+  SELECT u.src, u.dst FROM u{k-1} u
+  WHERE NOT EXISTS (SELECT 1 FROM gm{k} m WHERE m.src = u.src)
+    AND NOT EXISTS (SELECT 1 FROM gm{k} m WHERE m.dst = u.dst)
+)"""
+        )
+    greedy_union = " UNION ALL ".join(
+        f"SELECT src, dst FROM gm{k}" for k in range(1, greedy_rounds + 1)
+    )
+    parts.append(
+        f""",
+mate0 AS MATERIALIZED ({greedy_union}),
+fr0 AS MATERIALIZED (
+  SELECT c.dst AS c, c.dst AS root FROM (SELECT DISTINCT dst FROM sl) c
+  WHERE NOT EXISTS (SELECT 1 FROM mate0 m WHERE m.dst = c.dst)
+),
+par0 AS MATERIALIZED (
+  SELECT CAST(NULL AS BIGINT) AS r, CAST(NULL AS BIGINT) AS pc,
+         CAST(NULL AS BIGINT) AS root WHERE 1 = 0
+),
+lv0 AS MATERIALIZED (
+  SELECT CAST(NULL AS BIGINT) AS root, CAST(NULL AS BIGINT) AS leaf WHERE 1 = 0
+)"""
+    )
+    for d in range(1, bfs_depth + 1):
+        parts.append(
+            f""",
+cand{d} AS MATERIALIZED (
+  SELECT r, pc, root FROM (
+    SELECT e.src AS r, f.c AS pc, f.root AS root,
+           row_number() OVER (PARTITION BY e.src ORDER BY f.c, f.root) AS rn
+    FROM sl e JOIN fr{d-1} f ON e.dst = f.c
+  ) WHERE rn = 1
+),
+new{d} AS MATERIALIZED (
+  SELECT c.* FROM cand{d} c
+  WHERE NOT EXISTS (SELECT 1 FROM par{d-1} p WHERE p.r = c.r)
+),
+par{d} AS MATERIALIZED (SELECT * FROM par{d-1} UNION ALL SELECT * FROM new{d}),
+nl{d} AS MATERIALIZED (
+  SELECT root, min(r) AS leaf FROM new{d} n
+  WHERE NOT EXISTS (SELECT 1 FROM mate0 m WHERE m.src = n.r)
+    AND NOT EXISTS (SELECT 1 FROM lv{d-1} l WHERE l.root = n.root)
+  GROUP BY root
+),
+lv{d} AS MATERIALIZED (SELECT * FROM lv{d-1} UNION ALL SELECT * FROM nl{d}),
+fr{d} AS MATERIALIZED (
+  SELECT m.dst AS c, min(n.root) AS root
+  FROM new{d} n JOIN mate0 m ON m.src = n.r
+  WHERE NOT EXISTS (SELECT 1 FROM lv{d} l WHERE l.root = n.root)
+  GROUP BY m.dst
+)"""
+        )
+    parts.append(
+        f""",
+cur0 AS MATERIALIZED (SELECT root, leaf AS r FROM lv{bfs_depth})"""
+    )
+    for s in range(1, walk_steps + 1):
+        parts.append(
+            f""",
+st{s} AS MATERIALIZED (
+  SELECT c.r, p.pc, c.root FROM cur{s-1} c JOIN par{bfs_depth} p ON p.r = c.r
+),
+cur{s} AS MATERIALIZED (
+  SELECT s.root, m.src AS r FROM st{s} s JOIN mate0 m ON m.dst = s.pc
+)"""
+        )
+    flips_union = " UNION ALL ".join(
+        f"SELECT r AS src, pc AS dst FROM st{s}" for s in range(1, walk_steps + 1)
+    )
+    parts.append(
+        f""",
+flips AS MATERIALIZED ({flips_union})
+SELECT src, dst FROM (
+  SELECT m.src, m.dst FROM mate0 m
+  WHERE NOT EXISTS (SELECT 1 FROM flips f WHERE f.src = m.src)
+    AND NOT EXISTS (SELECT 1 FROM flips f WHERE f.dst = m.dst)
+  UNION ALL
+  SELECT src, dst FROM flips
+)"""
+    )
+    return "\n".join(parts)
+
+
 MCL_ITERS = 2
 MCL_K = 50
 MCL_PRUNE = 1e-4
@@ -1131,6 +1299,36 @@ def q_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rcm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reverse Cuthill-McKee permutation gate (Ordering/RCM.cpp):
+    min-degree source, symmetrized BFS levels, (level, degree, id)
+    rank reversed — fully deterministic, unrolled in _rcm_sql."""
+    from combblas_spark.algos.matching import rcm_ordering
+
+    return rcm_ordering(spark, _graph(spark, sf_dir))
+
+
+def q_matching_max(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum-cardinality matching gate (BPMaximumMatching.h:231-420)
+    on the deterministic slice where greedy is NOT maximum (per-src
+    2 smallest suppliers, src <= MATCH_SLICE_SRC: greedy 16 < max 18
+    at sf0.01) — the oracle unrolls greedy init + one MS-BFS phase +
+    the augmentation walk; the Spark side runs the real convergence
+    loop (phases until no augmenting path, Berge certificate)."""
+    from combblas_spark.algos.matching import maximum_bipartite_matching
+    from combblas_spark.graph import Graph
+
+    g = _graph(spark, sf_dir)
+    w = Window.partitionBy("src").orderBy("dst")
+    e = (
+        g.edges.filter(F.col("src") <= MATCH_SLICE_SRC)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= MATCH_SLICE_K)
+        .select("src", "dst", "w")
+    )
+    return maximum_bipartite_matching(spark, Graph(edges=e, n_partitions=8))
+
+
 def _sym_unit_graph(spark: SparkSession, sf_dir: str, max_src: int | None = None):
     """Symmetrized 0/1-weight view of the link graph (SYM_EDGES_CTE);
     ``max_src`` bounds it to the deterministic src-slice subgraph."""
@@ -1289,6 +1487,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": q_simhash_pairs,
         "media_features": q_media_features,
         "matching3": q_matching,
+        "matching_max": q_matching_max,
+        "rcm": q_rcm,
         "mcl2": q_mcl,
         "betweenness": q_betweenness,
         "induced_edges": q_induced_edges,
@@ -1326,6 +1526,8 @@ def oracle_sql() -> dict[str, str]:
         "cosine_topk5": COSINE_TOPK_SQL,
         "embed_pairs": EMBED_PAIRS_SQL,
         "matching3": _matching_sql(MATCH_ROUNDS),
+        "matching_max": _matching_max_sql(),
+        "rcm": _rcm_sql(RCM_LEVELS),
         "mcl2": _mcl_sql(MCL_ITERS),
         "betweenness": _betweenness_sql(BC_SOURCES, BC_DEPTH),
         "induced_edges": INDUCED_EDGES_SQL,
