@@ -480,6 +480,80 @@ u{k} AS MATERIALIZED (
     return "\n".join(parts)
 
 
+AWPM_ITERS = 2
+
+
+def _awpm_sql(greedy_rounds: int, cycle_iters: int) -> str:
+    """TwoThirdApprox unrolled (ApproxWeightPerfectMatching.h:791-1120):
+    start from the matching3 greedy unroll (weights joined back on),
+    then ``cycle_iters`` rounds of weight-increasing vertex-disjoint
+    alternating 4-cycles — Phase1/2 candidate generation (open wedge +
+    existing back edge, positive published gain), Phase3 per-j max,
+    Phase4 per-mi max excluding Phase3-winner columns, simultaneous
+    flip.  Gains are integer-valued (w = count(*)), so double summation
+    is exact on both engines."""
+    parts = [
+        "WITH " + EDGES_CTE.strip() + ",",
+        "u0 AS MATERIALIZED (SELECT DISTINCT src, dst FROM edges)",
+    ]
+    for k in range(1, greedy_rounds + 1):
+        parts.append(
+            f""",
+p{k} AS MATERIALIZED (SELECT dst, min(src) AS src FROM u{k-1} GROUP BY dst),
+m{k} AS MATERIALIZED (SELECT src, min(dst) AS dst FROM p{k} GROUP BY src),
+u{k} AS MATERIALIZED (
+  SELECT u.src, u.dst FROM u{k-1} u
+  WHERE u.src NOT IN (SELECT src FROM m{k})
+    AND u.dst NOT IN (SELECT dst FROM m{k})
+)"""
+        )
+    union = " UNION ALL ".join(
+        f"SELECT src, dst FROM m{k}" for k in range(1, greedy_rounds + 1)
+    )
+    parts.append(
+        f""",
+mate0 AS MATERIALIZED (
+  SELECT g.src, g.dst, e.w FROM ({union}) g JOIN edges e USING (src, dst)
+)"""
+    )
+    for t in range(1, cycle_iters + 1):
+        parts.append(
+            f""",
+cand{t} AS MATERIALIZED (
+  SELECT e.src AS i, e.dst AS j, e.w AS w,
+         mr.dst AS mi, mr.w AS wi, mc.src AS mj, mc.w AS wj, b.w AS wback,
+         e.w + b.w - mr.w - mc.w AS gain
+  FROM edges e
+  JOIN mate{t-1} mr ON mr.src = e.src
+  JOIN mate{t-1} mc ON mc.dst = e.dst
+  JOIN edges b ON b.src = mc.src AND b.dst = mr.dst
+  WHERE e.src > mc.src AND e.w + b.w - mr.w - mc.w > 0
+),
+w3_{t} AS MATERIALIZED (
+  SELECT * FROM (
+    SELECT c.*, row_number() OVER (PARTITION BY j ORDER BY gain DESC, i, mi) AS rn
+    FROM cand{t} c
+  ) WHERE rn = 1
+),
+wn{t} AS MATERIALIZED (
+  SELECT * FROM (
+    SELECT c.*, row_number() OVER (PARTITION BY mi ORDER BY gain DESC, i, j) AS rn2
+    FROM w3_{t} c
+    WHERE NOT EXISTS (SELECT 1 FROM w3_{t} x WHERE x.j = c.mi)
+  ) WHERE rn2 = 1
+),
+mate{t} AS MATERIALIZED (
+  SELECT m.src, m.dst, m.w FROM mate{t-1} m
+  WHERE NOT EXISTS (SELECT 1 FROM wn{t} x WHERE x.i = m.src)
+    AND NOT EXISTS (SELECT 1 FROM wn{t} x WHERE x.mj = m.src)
+  UNION ALL SELECT i AS src, j AS dst, w FROM wn{t}
+  UNION ALL SELECT mj AS src, mi AS dst, wback AS w FROM wn{t}
+)"""
+        )
+    parts.append(f"\nSELECT src, dst FROM mate{cycle_iters}")
+    return "\n".join(parts)
+
+
 RCM_LEVELS = 8  # ≥ BFS eccentricity from the RCM source at sf0.01
                 # (measured 4; extra levels are empty CTEs)
 
@@ -1299,6 +1373,22 @@ def q_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_awpm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AWPM weight-improvement gate (ApproxWeightPerfectMatching.h:
+    791-1120): two fixed TwoThirdApprox rounds on the link graph
+    starting from the matching3 greedy matching — each round applies
+    every vertex-disjoint positive-gain alternating 4-cycle the
+    Phase3/Phase4 winner selection admits."""
+    from combblas_spark.algos.awpm import two_third_approx
+    from combblas_spark.algos.matching import maximal_bipartite_matching
+
+    g = _graph(spark, sf_dir)
+    mate = maximal_bipartite_matching(
+        spark, g, max_iter=MATCH_ROUNDS, allow_partial=True
+    )
+    return two_third_approx(spark, g, mate, fixed_iters=AWPM_ITERS)
+
+
 def q_rcm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reverse Cuthill-McKee permutation gate (Ordering/RCM.cpp):
     min-degree source, symmetrized BFS levels, (level, degree, id)
@@ -1488,6 +1578,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features": q_media_features,
         "matching3": q_matching,
         "matching_max": q_matching_max,
+        "awpm2": q_awpm,
         "rcm": q_rcm,
         "mcl2": q_mcl,
         "betweenness": q_betweenness,
@@ -1527,6 +1618,7 @@ def oracle_sql() -> dict[str, str]:
         "embed_pairs": EMBED_PAIRS_SQL,
         "matching3": _matching_sql(MATCH_ROUNDS),
         "matching_max": _matching_max_sql(),
+        "awpm2": _awpm_sql(MATCH_ROUNDS, AWPM_ITERS),
         "rcm": _rcm_sql(RCM_LEVELS),
         "mcl2": _mcl_sql(MCL_ITERS),
         "betweenness": _betweenness_sql(BC_SOURCES, BC_DEPTH),
