@@ -141,3 +141,49 @@ def test_streaming_windowed_counts_with_watermark(spark, tmp_path):
         for r in spark.sql("SELECT * FROM t_win").collect()
     }
     assert got == {(10, "click"): 2, (11, "view"): 1, (11, "click"): 1}
+
+
+def test_write_read_mcl_clusters_roundtrip(spark, tmp_path):
+    """WriteMCLClusters analogue (Applications/WriteMCLClusters.h):
+    cluster file round-trips to the identical assignment partition,
+    sharded and gathered, ids and label-decoded."""
+    from combblas_spark.sources.clusters import (
+        read_mcl_clusters,
+        write_mcl_clusters,
+    )
+
+    g = FX.graph(spark, FX.TWO_CLIQUES, n_partitions=4)
+    res = mcl(spark, g, inflation=2.0, max_iter=20)
+    want = {}
+    for r in res.clusters.collect():
+        want.setdefault(r["cluster"], set()).add(str(r["v"]))
+    want_parts = {frozenset(v) for v in want.values()}
+
+    for gathered in (False, True):
+        path = str(tmp_path / f"clusters_{gathered}")
+        write_mcl_clusters(res.clusters, path, gathered=gathered)
+        back = read_mcl_clusters(spark, path)
+        got = {}
+        for r in back.collect():
+            got.setdefault(r["cluster_key"], set()).add(r["name"])
+        assert {frozenset(v) for v in got.values()} == want_parts
+
+    # label-decoded variant: dictionary maps v -> "u<v>"
+    dictionary = spark.range(11).select(
+        F.concat(F.lit("u"), F.col("id")).alias("label"), F.col("id").alias("id")
+    )
+    path = str(tmp_path / "clusters_labeled")
+    write_mcl_clusters(res.clusters, path, dictionary=dictionary, gathered=True)
+    back = read_mcl_clusters(spark, path)
+    got = {}
+    for r in back.collect():
+        got.setdefault(r["cluster_key"], set()).add(r["name"])
+    want_labeled = {frozenset("u" + m for m in p) for p in want_parts}
+    assert {frozenset(v) for v in got.values()} == want_labeled
+
+    # base-offset variant writes ids + base (WriteMCLClusters.h:148)
+    path = str(tmp_path / "clusters_base1")
+    write_mcl_clusters(res.clusters, path, base=1, gathered=True)
+    back = read_mcl_clusters(spark, path)
+    names = {r["name"] for r in back.collect()}
+    assert names == {str(v + 1) for v in range(11)}
