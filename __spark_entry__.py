@@ -1504,8 +1504,6 @@ def q_mtx_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
     4127): the link graph round-trips through the sharded MatrixMarket
     writer + distributed reader, then reduces to out-degrees — the
     oracle row set matches iff the round-trip is lossless."""
-    import hashlib
-    import os
     import tempfile
 
     from combblas_spark.sources.matrixmarket import (
@@ -1514,8 +1512,9 @@ def q_mtx_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     g = _graph(spark, sf_dir)
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    path = os.path.join(tempfile.gettempdir(), f"combblas-mtx-{tag}")
+    # mkdtemp: unique per invocation — concurrent runs in one sandbox
+    # can no longer interleave writes into the same round-trip dir
+    path = os.path.join(tempfile.mkdtemp(prefix="combblas-mtx-"), "mm")
     write_matrix_market(g, path, gathered=False)
     mm = read_matrix_market(spark, path)
     return mm.graph.out_degrees()
