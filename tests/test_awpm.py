@@ -153,3 +153,51 @@ def test_awpm_end_to_end_completes_and_improves(spark):
     # optimum is (0,1)+(1,0)+(2,2) = 9+9+5 = 23 in raw weight; the
     # product objective (optimizeProd) picks the same support here
     assert got == 23.0
+
+
+# ---------------------------------------------------------------------------
+# auction algorithm (auction.cpp — full Bertsekas loop of the sketch)
+# ---------------------------------------------------------------------------
+
+def test_auction_reaches_brute_force_optimum(spark):
+    import numpy as np
+
+    from combblas_spark.algos.auction import auction_matching
+
+    for seed, n, density in ((11, 5, 1.0), (12, 6, 0.7), (13, 6, 0.5)):
+        rng = np.random.default_rng(seed)
+        triples = [
+            (i, j, float(rng.integers(1, 30)))
+            for i in range(n)
+            for j in range(n)
+            if rng.random() < density or i == j
+        ]
+        opt = _brute_opt(triples, n)
+        g = FX.graph(spark, triples, n_partitions=2)
+        out = auction_matching(spark, g).collect()
+        _assert_valid_matching(out)
+        assert len(out) == n
+        got = _mate_weight(out, triples)
+        # eps < 1/n + integer weights => exactly optimal
+        assert got == pytest.approx(opt, abs=1e-6), (seed, got, opt)
+
+
+def test_auction_revokes_and_rebids(spark):
+    from combblas_spark.algos.auction import auction_matching
+
+    # both rows want col 0; row 1's alternative is terrible, so row 1
+    # must outbid and revoke row 0, which re-bids onto col 1
+    triples = [(0, 0, 10.0), (0, 1, 9.0), (1, 0, 10.0), (1, 1, 1.0)]
+    g = FX.graph(spark, triples, n_partitions=2)
+    out = {(r["src"], r["dst"]) for r in auction_matching(spark, g).collect()}
+    assert out == {(0, 1), (1, 0)}  # weight 19, the optimum
+
+
+def test_auction_raises_on_infeasible_side(spark):
+    from combblas_spark.algos.auction import auction_matching
+
+    # 3 bidders, 1 object: never terminates — must raise, not spin
+    triples = [(0, 0, 1.0), (1, 0, 2.0), (2, 0, 3.0)]
+    g = FX.graph(spark, triples, n_partitions=2)
+    with pytest.raises(RuntimeError):
+        auction_matching(spark, g, max_rounds=12)
