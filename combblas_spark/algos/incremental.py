@@ -19,11 +19,20 @@ or form new ones without re-running MCL over the full original graph.
 Spark form: vertex ids are global, so the block assembly is a plain
 ``unionByName`` of edge DataFrames — no Concatenate/SpAsgn index
 surgery — and the summary rides as a (src, dst, w) DataFrame
-checkpointed between batches.  Simplifications vs the reference,
-stated: ``normalizedAssign`` rescaling and the ``SelectivePrune`` mask
-(both accuracy knobs for billion-edge protein graphs) are not
-implemented; self-loops added by ``mcl`` give every new vertex column
-support, which is what normalizedAssign guards at toy scale.
+checkpointed between batches.  Both reference accuracy knobs are
+implemented (round 4):
+
+* ``normalizedAssign`` (IncClust.h:1127-1143) — each of the four
+  blocks (M11 summary, M12/M21 cross, M22 new-new) is made
+  column-stochastic within itself and rescaled by its row count before
+  the union, so a summary whose weights live on a different scale than
+  the raw new edges cannot drown them (or be drowned);
+* ``SelectivePrune`` (IncClust.h:300-341, applied per MCL iteration at
+  :751) — iterate entries are pruned when ALL of: the entry connects
+  two SAME-age vertices (both old or both new), it is absent from the
+  input pattern mask, and its value is below the threshold — noise
+  flows inside an age class die early while cross old↔new flows (the
+  information the incremental step exists to find) are always kept.
 """
 
 from __future__ import annotations
@@ -31,9 +40,44 @@ from __future__ import annotations
 from dataclasses import dataclass, replace
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
-from ..graph import Graph
+from ..graph import DST, SRC, W, Graph
 from .mcl import MCLResult, mcl
+
+
+def selective_prune(
+    g: Graph, mask: DataFrame, is_old: DataFrame, threshold: float
+) -> Graph:
+    """SelectivePrune (IncClust.h:300-341): drop entries of ``g`` that
+    simultaneously (1) connect two same-flag vertices, (2) do not
+    appear in the ``mask`` pattern (src, dst), and (3) fall below
+    ``threshold``.  ``is_old`` is (v, old) with any equality-comparable
+    flag column."""
+    fs = is_old.select(F.col("v").alias(SRC), F.col("old").alias("_fs"))
+    fd = is_old.select(F.col("v").alias(DST), F.col("old").alias("_fd"))
+    doomed = (
+        g.edges.filter(F.col(W) < threshold)
+        .join(mask.select(SRC, DST), [SRC, DST], "left_anti")
+        .join(fs, SRC)
+        .join(fd, DST)
+        .filter(F.col("_fs") == F.col("_fd"))
+        .select(SRC, DST)
+    )
+    return replace(g, edges=g.edges.join(doomed, [SRC, DST], "left_anti"))
+
+
+def _normalized_block(block: DataFrame) -> DataFrame:
+    """normalizedAssign rescale of one block (IncClust.h:1127-1143):
+    column-stochastic within the block, then multiplied by the block's
+    distinct-row count — blocks contribute on one scale regardless of
+    the magnitudes they arrived with."""
+    sums = block.groupBy(DST).agg(F.sum(W).alias("_cs"))
+    nr = block.select(SRC).distinct().count()
+    return (
+        block.join(sums, DST)
+        .select(SRC, DST, (F.col(W) / F.col("_cs") * float(nr)).alias(W))
+    )
 
 
 @dataclass
@@ -72,6 +116,8 @@ def mcl_incremental_step(
     state: IncrementalClustering,
     new_edges: DataFrame,
     summary_iter: int = 4,
+    normalized_assign: bool = False,
+    selective_prune_threshold: float | None = None,
     **mcl_kwargs,
 ) -> IncrementalClustering:
     """Fold one new vertex batch into an existing clustering.
@@ -84,10 +130,15 @@ def mcl_incremental_step(
     ``unionByName`` as two rows and be plus-merged through the
     normalization, double-counting the edge.  Returns the updated
     assignment over old ∪ new vertices plus the next summary.
-    """
-    from pyspark.sql import functions as F
 
-    from ..graph import DST, SRC, W, as_edges
+    ``normalized_assign`` applies the reference's per-block
+    column-stochastic rescale before the union (IncClust.h:1127-1143);
+    ``selective_prune_threshold`` enables the per-MCL-iteration
+    SelectivePrune mask against the assembled input pattern
+    (IncClust.h:751) — both accuracy knobs default off, matching the
+    reference's defaults (IncClust.h:135).
+    """
+    from ..graph import as_edges
 
     ne = as_edges(new_edges, w=W if W in new_edges.columns else None)
     old = state.clusters.select("v")
@@ -98,11 +149,46 @@ def mcl_incremental_step(
         .distinct()
     )
     ne = ne.join(both_old, [SRC, DST], "left_anti")
+    summary_e = state.summary.edges
+    if normalized_assign:
+        # split ne into its three blocks by endpoint age and rescale
+        # each block (the summary IS the fourth block, M11)
+        old_s = old.withColumnRenamed("v", SRC)
+        old_d = old.withColumnRenamed("v", DST)
+        m12 = ne.join(old_s, SRC, "left_semi").join(old_d, DST, "left_anti")
+        m21 = ne.join(old_s, SRC, "left_anti").join(old_d, DST, "left_semi")
+        m22 = ne.join(old_s, SRC, "left_anti").join(old_d, DST, "left_anti")
+        parts = [
+            _normalized_block(b.select(SRC, DST, W))
+            for b in (summary_e, m12, m21, m22)
+            if not b.isEmpty()
+        ]
+        assembled = parts[0]
+        for p in parts[1:]:
+            assembled = assembled.unionByName(p)
+    else:
+        assembled = summary_e.unionByName(ne)
     minc = Graph(
-        edges=state.summary.edges.unionByName(ne).localCheckpoint(eager=True),
+        edges=assembled.localCheckpoint(eager=True),
         n_partitions=state.summary.n_partitions,
     )
-    res = _run(spark, minc, summary_iter, mcl_kwargs)
+    kw = dict(mcl_kwargs)
+    if selective_prune_threshold is not None:
+        new_v = (
+            minc.edges.select(F.col(SRC).alias("v"))
+            .unionByName(minc.edges.select(F.col(DST).alias("v")))
+            .distinct()
+            .join(old, "v", "left_anti")
+        )
+        flags = (
+            old.withColumn("old", F.lit(1))
+            .unionByName(new_v.withColumn("old", F.lit(0)))
+            .localCheckpoint(eager=True)
+        )
+        mask = minc.edges.select(SRC, DST).localCheckpoint(eager=True)
+        thr = selective_prune_threshold
+        kw["extra_prune"] = lambda a: selective_prune(a, mask, flags, thr)
+    res = _run(spark, minc, summary_iter, kw)
     return IncrementalClustering(
         clusters=res.clusters.localCheckpoint(eager=True),
         summary=replace(

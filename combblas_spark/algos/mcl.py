@@ -75,6 +75,7 @@ def mcl(
     add_self_loops: bool = True,
     summary_iter: int | None = None,
     summary_threshold_nnz: float | None = None,
+    extra_prune=None,
 ) -> MCLResult:
     """Run MCL; returns per-vertex cluster assignment (min-member id).
 
@@ -99,6 +100,10 @@ def mcl(
     graph's cluster structure that ``mcl_incremental`` re-clusters
     against when a new vertex batch arrives.  Fallback (as in
     IncClust.h:431): the initial normalized state.
+
+    ``extra_prune`` (Graph -> Graph, optional) runs after the standard
+    prune/select each iteration — the hook the incremental pipeline's
+    SelectivePrune mask plugs into (IncClust.h:751).
     """
     a = g
     if add_self_loops:
@@ -120,6 +125,8 @@ def mcl(
         a = mcl_prune_recovery_select(
             a, prune_below, select_k, recover_num, recover_pct
         )
+        if extra_prune is not None:
+            a = extra_prune(a)
         # inflation then re-normalize
         a = replace(a, edges=a.edges.withColumn(W, F.pow(F.col(W), inflation)))
         a = _col_stochastic(a)

@@ -83,3 +83,69 @@ def test_summary_capture_modes(spark):
     res3 = mcl(spark, g, max_iter=5, summary_threshold_nnz=0.5)
     start_nnz = len(edges) + 8  # 8 self-loops added
     assert res3.summary.edges.count() == start_nnz  # fallback: initial state
+
+
+def test_selective_prune_criteria(spark):
+    """SelectivePrune (IncClust.h:300-341): an entry dies only when it
+    is same-age AND outside the mask AND below threshold."""
+    from combblas_spark.algos.incremental import selective_prune
+    from combblas_spark.sources import fixtures as FX
+
+    triples = [
+        (0, 1, 0.1),   # old-old, not in mask, small  -> pruned
+        (0, 2, 0.9),   # old-old, not in mask, big    -> kept (criterion 3)
+        (1, 2, 0.1),   # old-old, IN mask, small      -> kept (criterion 2)
+        (0, 10, 0.1),  # old-new, not in mask, small  -> kept (criterion 1)
+        (10, 11, 0.1), # new-new, not in mask, small  -> pruned
+    ]
+    g = FX.graph(spark, triples, n_partitions=2)
+    mask = spark.createDataFrame([(1, 2)], "src long, dst long")
+    flags = spark.createDataFrame(
+        [(0, 1), (1, 1), (2, 1), (10, 0), (11, 0)], "v long, old int"
+    )
+    out = selective_prune(g, mask, flags, threshold=0.5)
+    got = {(r["src"], r["dst"]) for r in out.edges.collect()}
+    assert got == {(0, 2), (1, 2), (0, 10)}
+
+
+def test_incremental_accuracy_knobs_preserve_fixture_partition(spark):
+    """normalizedAssign + SelectivePrune must still recover the known
+    partition on the two-batch fixture (and the block rescale really
+    fires: each assembled block's columns sum to its row count)."""
+    from combblas_spark.algos.incremental import _normalized_block
+
+    b1 = clique(range(4)) + clique(range(4, 8))
+    b2 = clique(range(8, 12)) + [(12, v) for v in range(4)] + [
+        (v, 12) for v in range(4)
+    ]
+    g1 = Graph.from_edge_list(
+        spark.createDataFrame(b1, "src long, dst long"), n_partitions=4
+    )
+    state = mcl_incremental_init(spark, g1, summary_iter=4, max_iter=20)
+    new_edges = spark.createDataFrame(b2, "src long, dst long")
+    state2 = mcl_incremental_step(
+        spark,
+        state,
+        new_edges,
+        summary_iter=4,
+        max_iter=20,
+        normalized_assign=True,
+        selective_prune_threshold=1e-3,
+    )
+    assert grouping(state2.clusters) == {
+        frozenset(list(range(4)) + [12]),
+        frozenset(range(4, 8)),
+        frozenset(range(8, 12)),
+    }
+    # block rescale invariant
+    blk = spark.createDataFrame(
+        [(0, 0, 2.0), (1, 0, 6.0), (0, 1, 5.0)], "src long, dst long, w double"
+    )
+    sums = {
+        r["dst"]: r["s"]
+        for r in _normalized_block(blk)
+        .groupBy("dst")
+        .agg(F.sum("w").alias("s"))
+        .collect()
+    }
+    assert sums[0] == 2.0 and sums[1] == 2.0  # 2 distinct rows
