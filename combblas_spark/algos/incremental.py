@@ -67,16 +67,18 @@ def selective_prune(
     return replace(g, edges=g.edges.join(doomed, [SRC, DST], "left_anti"))
 
 
-def _normalized_block(block: DataFrame) -> DataFrame:
+def _normalized_block(block: DataFrame, nrows: int) -> DataFrame:
     """normalizedAssign rescale of one block (IncClust.h:1127-1143):
     column-stochastic within the block, then multiplied by the block's
-    distinct-row count — blocks contribute on one scale regardless of
-    the magnitudes they arrived with."""
+    full row DIMENSION ``nrows`` — getnrow() in the reference, i.e.
+    |old| for M11/M12 and |new| for M21/M22, NOT the count of rows
+    that happen to hold an entry — so blocks contribute on one scale
+    regardless of the magnitudes they arrived with or how sparsely
+    their rows are populated."""
     sums = block.groupBy(DST).agg(F.sum(W).alias("_cs"))
-    nr = block.select(SRC).distinct().count()
     return (
         block.join(sums, DST)
-        .select(SRC, DST, (F.col(W) / F.col("_cs") * float(nr)).alias(W))
+        .select(SRC, DST, (F.col(W) / F.col("_cs") * float(nrows)).alias(W))
     )
 
 
@@ -152,15 +154,30 @@ def mcl_incremental_step(
     summary_e = state.summary.edges
     if normalized_assign:
         # split ne into its three blocks by endpoint age and rescale
-        # each block (the summary IS the fourth block, M11)
+        # each block (the summary IS the fourth block, M11).  Row
+        # dimensions follow the reference's getnrow(): M11/M12 span
+        # the |old| rows, M21/M22 the |new| rows (IncClust.h:1127-1143).
         old_s = old.withColumnRenamed("v", SRC)
         old_d = old.withColumnRenamed("v", DST)
         m12 = ne.join(old_s, SRC, "left_semi").join(old_d, DST, "left_anti")
         m21 = ne.join(old_s, SRC, "left_anti").join(old_d, DST, "left_semi")
         m22 = ne.join(old_s, SRC, "left_anti").join(old_d, DST, "left_anti")
+        n_old = old.count()
+        n_new = (
+            ne.select(F.col(SRC).alias("v"))
+            .unionByName(ne.select(F.col(DST).alias("v")))
+            .distinct()
+            .join(old, "v", "left_anti")
+            .count()
+        )
         parts = [
-            _normalized_block(b.select(SRC, DST, W))
-            for b in (summary_e, m12, m21, m22)
+            _normalized_block(b.select(SRC, DST, W), nr)
+            for b, nr in (
+                (summary_e, n_old),
+                (m12, n_old),
+                (m21, n_new),
+                (m22, n_new),
+            )
             if not b.isEmpty()
         ]
         assembled = parts[0]

@@ -101,9 +101,13 @@ def mcl(
     against when a new vertex batch arrives.  Fallback (as in
     IncClust.h:431): the initial normalized state.
 
-    ``extra_prune`` (Graph -> Graph, optional) runs after the standard
-    prune/select each iteration — the hook the incremental pipeline's
-    SelectivePrune mask plugs into (IncClust.h:751).
+    ``extra_prune`` (Graph -> Graph, optional) is the hook the
+    incremental pipeline's SelectivePrune mask plugs into.  Matching
+    IncClust.h:750-752, it fires only on iterations whose nnz GREW
+    versus the previous iterate (the reference's ``nnz > prevNnz``
+    guard), and it is handed the column-stochastic matrix — the
+    reference applies the threshold after MakeColStochastic, so the
+    comparison scale is per-column mass, not raw post-prune values.
     """
     a = g
     if add_self_loops:
@@ -115,6 +119,7 @@ def mcl(
     summary = a if want_summary else None
     summary_saved = False
     nnz_start = a.edges.count() if summary_threshold_nnz is not None else 0
+    nnz_prev = a.edges.count() if extra_prune is not None else None
 
     chaos = float("inf")
     it = 0
@@ -126,7 +131,14 @@ def mcl(
             a, prune_below, select_k, recover_num, recover_pct
         )
         if extra_prune is not None:
-            a = extra_prune(a)
+            # IncClust.h:750-752: SelectivePrune fires only when nnz
+            # grew this iteration, and its threshold compares against
+            # the column-stochastic values
+            a = _col_stochastic(a)
+            nnz_now = a.edges.count()
+            if nnz_now > nnz_prev:
+                a = extra_prune(a)
+            nnz_prev = nnz_now
         # inflation then re-normalize
         a = replace(a, edges=a.edges.withColumn(W, F.pow(F.col(W), inflation)))
         a = _col_stochastic(a)

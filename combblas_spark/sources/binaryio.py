@@ -29,6 +29,7 @@ from __future__ import annotations
 import os
 import struct
 from dataclasses import dataclass
+from urllib.parse import unquote, urlparse
 
 import numpy as np
 import pandas as pd
@@ -54,10 +55,22 @@ def _header_bytes(m: int, n: int, nnz: int) -> bytes:
     return _MAGIC + struct.pack("<6Q", 2, 8, 0, m, n, nnz)
 
 
-def write_binary(g: Graph, path: str, gathered: bool = False) -> None:
+def write_binary(
+    g: Graph,
+    path: str,
+    gathered: bool = False,
+    nrows: int | None = None,
+    ncols: int | None = None,
+) -> None:
     """ParallelBinaryWrite analogue: header + 1-based (i64, i64, f64)
     records.  Sharded part dir by default; ``gathered=True`` emits one
-    reference-layout file at ``path``."""
+    reference-layout file at ``path``.
+
+    ``nrows``/``ncols`` are the true matrix dimensions, stored in the
+    header exactly as the reference does; when omitted they are
+    inferred as square ``max(src, dst) + 1`` — which under-reports
+    rectangular matrices or trailing empty rows/columns, so callers
+    holding the real dims should pass them."""
     edges = g.edges.select(
         (F.col(SRC) + 1).alias("r"),
         (F.col(DST) + 1).alias("c"),
@@ -67,7 +80,9 @@ def write_binary(g: Graph, path: str, gathered: bool = False) -> None:
         (F.max(F.greatest(SRC, DST)) + 1).alias("mx"),
         F.count("*").alias("nnz"),
     ).collect()[0]
-    m = n = int(stats["mx"] or 0)
+    inferred = int(stats["mx"] or 0)
+    m = int(nrows) if nrows is not None else inferred
+    n = int(ncols) if ncols is not None else inferred
     nnz = int(stats["nnz"])
     header = _header_bytes(m, n, nnz)
 
@@ -119,21 +134,54 @@ def write_binary(g: Graph, path: str, gathered: bool = False) -> None:
     tagged.mapInPandas(dump, "written int").collect()
 
 
+def _local_path(uri: str) -> str:
+    """file:-URI (or bare path) → filesystem path, via urllib — a bare
+    ``str.replace('file:', '')`` would mangle any path that merely
+    CONTAINS that substring."""
+    parsed = urlparse(uri)
+    if parsed.scheme in ("", "file"):
+        return unquote(parsed.path) or uri
+    raise ValueError(f"driver-side header read needs a local path, got {uri}")
+
+
 def read_binary(
     spark: SparkSession, path: str, n_partitions: int = 32
 ) -> BinaryMatrixFile:
     """Read a ``write_binary`` dir or a single reference-layout file:
     header validated, records decoded Arrow-batched via numpy, edges
-    returned 0-based."""
+    returned 0-based.
+
+    The header is stripped ONLY from the designated header file — the
+    ``*-header.bin`` part in the sharded layout, else the path-sorted
+    first file (the gathered single-file layout) — never by sniffing
+    each shard's leading bytes: a data-only part whose first record's
+    row int64 happens to start with the magic must parse as records."""
     files = spark.read.format("binaryFile").load(
         os.path.join(path, "*.bin") if os.path.isdir(path) else path
     ).select("path", "content")
 
+    paths = sorted(r["path"] for r in files.select("path").collect())
+    if not paths:
+        raise ValueError(f"no files found under {path}")
+    named = [p for p in paths if p.endswith("-header.bin")]
+    header_uri = named[0] if named else paths[0]
+
+    with open(_local_path(header_uri), "rb") as f:
+        head = f.read(_HEADER_SIZE)
+    if head[:4] != _MAGIC:
+        raise ValueError(f"no HKDT header found at {header_uri}")
+    ver, osize, fmt, m, n, nnz = struct.unpack("<6Q", head[4:_HEADER_SIZE])
+    if ver != 2 or osize != 8 or fmt != 0:
+        raise ValueError(
+            f"unsupported HKDT header (ver={ver} osize={osize} fmt={fmt})"
+        )
+    m, n, nnz = int(m), int(n), int(nnz)
+
     def decode(batches):
         for b in batches:
-            for raw in b["content"]:
+            for uri, raw in zip(b["path"], b["content"]):
                 buf = bytes(raw)
-                if buf[:4] == _MAGIC:
+                if uri == header_uri:
                     buf = buf[_HEADER_SIZE:]
                 rec = np.frombuffer(buf, dtype=_REC_DTYPE)
                 yield pd.DataFrame(
@@ -145,25 +193,6 @@ def read_binary(
                 )
 
     edges = files.mapInPandas(decode, f"{SRC} long, {DST} long, {W} double")
-
-    # header: first file (path-sorted) carrying the magic — O(header
-    # bytes) driver-side, like the MatrixMarket header scan
-    hdr = None
-    for row in files.select("path").orderBy("path").collect():
-        p = row["path"].replace("file:", "")
-        with open(p, "rb") as f:
-            head = f.read(_HEADER_SIZE)
-        if head[:4] == _MAGIC:
-            ver, osize, fmt, m, n, nnz = struct.unpack("<6Q", head[4:_HEADER_SIZE])
-            if ver != 2 or osize != 8 or fmt != 0:
-                raise ValueError(
-                    f"unsupported HKDT header (ver={ver} osize={osize} fmt={fmt})"
-                )
-            hdr = (int(m), int(n), int(nnz))
-            break
-    if hdr is None:
-        raise ValueError(f"no HKDT header found under {path}")
-    m, n, nnz = hdr
     g = Graph(
         edges=edges.repartition(n_partitions, SRC).cache(),
         n_partitions=n_partitions,

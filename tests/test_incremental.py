@@ -137,15 +137,17 @@ def test_incremental_accuracy_knobs_preserve_fixture_partition(spark):
         frozenset(range(4, 8)),
         frozenset(range(8, 12)),
     }
-    # block rescale invariant
+    # block rescale invariant: columns sum to the block's full row
+    # DIMENSION (getnrow(), IncClust.h:1127-1143) — here 3, even though
+    # only 2 rows hold an entry
     blk = spark.createDataFrame(
         [(0, 0, 2.0), (1, 0, 6.0), (0, 1, 5.0)], "src long, dst long, w double"
     )
     sums = {
         r["dst"]: r["s"]
-        for r in _normalized_block(blk)
+        for r in _normalized_block(blk, nrows=3)
         .groupBy("dst")
         .agg(F.sum("w").alias("s"))
         .collect()
     }
-    assert sums[0] == 2.0 and sums[1] == 2.0  # 2 distinct rows
+    assert sums[0] == 3.0 and sums[1] == 3.0

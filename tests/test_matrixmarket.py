@@ -169,3 +169,47 @@ def test_binary_write_read_roundtrip(spark, tmp_path):
     rec = np.frombuffer(raw[52:], dtype=[("r", "<i8"), ("c", "<i8"), ("v", "<f8")])
     assert len(rec) == 4
     assert {(int(r) - 1, int(c) - 1, float(v)) for r, c, v in rec} == set(triples)
+
+
+def test_binary_read_magic_colliding_data_shard(spark, tmp_path):
+    """A data-only shard whose FIRST RECORD's row int64 byte-matches the
+    'HKDT' magic must still parse as records (header stripping is tied
+    to the designated header file, never byte-sniffed per shard)."""
+    import struct
+
+    from combblas_spark.sources.binaryio import (
+        _HEADER_SIZE,
+        _MAGIC,
+        read_binary,
+    )
+
+    # 1-based row whose little-endian low bytes are exactly b"HKDT"
+    evil_row = int.from_bytes(_MAGIC, "little")  # 0x54444B48
+    d = tmp_path / "bin_evil"
+    d.mkdir()
+    header = _MAGIC + struct.pack("<6Q", 2, 8, 0, evil_row, evil_row, 2)
+    (d / "part-00000-header.bin").write_bytes(header)
+    rec = struct.pack("<qqd", evil_row, 7, 3.25) + struct.pack(
+        "<qqd", 2, 3, -1.5
+    )
+    (d / "part-00001.bin").write_bytes(rec)
+
+    back = read_binary(spark, str(d), n_partitions=2)
+    assert back.nnz == 2 and back.nrows == evil_row
+    got = {(r["src"], r["dst"], r["w"]) for r in back.graph.edges.collect()}
+    assert got == {(evil_row - 1, 6, 3.25), (1, 2, -1.5)}
+    assert len(header) == _HEADER_SIZE
+
+
+def test_binary_write_explicit_dims(spark, tmp_path):
+    """Rectangular / trailing-empty-row matrices keep their true header
+    dims when the caller passes nrows/ncols (the reference stores the
+    real dimensions, not max-index bounds)."""
+    from combblas_spark.sources import fixtures as FX
+    from combblas_spark.sources.binaryio import read_binary, write_binary
+
+    g = FX.graph(spark, [(0, 1, 1.0), (2, 0, 2.0)], n_partitions=2)
+    single = str(tmp_path / "rect.bin")
+    write_binary(g, single, gathered=True, nrows=10, ncols=5)
+    back = read_binary(spark, single, n_partitions=2)
+    assert (back.nrows, back.ncols, back.nnz) == (10, 5, 2)
