@@ -989,6 +989,20 @@ WHERE round(i.inter / (sa.sz + sb.sz - i.inter), 6) >= {threshold}
 """
 
 
+def _media_features_sql() -> str:
+    """Pinned-decoder oracle: the Spark side runs the Arrow-batched
+    numpy decode live; the fixture holds the band means recomputed by
+    a pure-Python scalar splitmix64 chain (make_oracle_fixtures.
+    make_media_features).  Both sides round the identical float32
+    value at 4 decimals, so equal rows iff the vectorized kernel is
+    value-exact."""
+    return (
+        "SELECT media_id, kind, decoded_w, decoded_h, band, "
+        "round(feat, 4) AS feat "
+        f"FROM read_parquet('{_fixture('media_features.parquet')}')"
+    )
+
+
 def _simhash_sql() -> str:
     """Pinned-signature oracle: the Spark side computes the 64-bit
     SimHash live (100% JVM); the fixture holds the pinned scalar
@@ -1273,11 +1287,16 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """rows-only gate: multimodal decode/featurize plumbing over the
-    deterministic synthetic media table (stubbed codec).
+    """Multimodal decode/featurize plumbing over the deterministic
+    synthetic media table (stubbed codec), oracle-gated against the
+    pinned ``media_features.parquet`` fixture — an INDEPENDENT
+    pure-Python scalar reimplementation of the splitmix64 pixel chain
+    (scripts/make_oracle_fixtures.make_media_features), so the
+    Arrow-batched numpy kernel is genuinely cross-validated.
 
-    The array<float> feature column is serialized to a canonical string
-    so the driver's pandas canonicalizer can sort/hash the output."""
+    Output is exploded to one row per (media, band) with the float32
+    band mean rounded at 4 decimals as a double — the value-hashable
+    form the driver's canonicalizer handles."""
     from combblas_spark.pipeline.multimodal import decode_and_featurize, synth_media
 
     feats = decode_and_featurize(synth_media(spark, 200, seed=42), feat_dim=8)
@@ -1286,9 +1305,14 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "kind",
         "decoded_w",
         "decoded_h",
-        F.concat_ws(
-            ",", F.transform("features", lambda x: F.format_number(x, 4))
-        ).alias("features_csv"),
+        F.posexplode("features").alias("band", "_f"),
+    ).select(
+        "media_id",
+        "kind",
+        "decoded_w",
+        "decoded_h",
+        "band",
+        F.round(F.col("_f").cast("double"), 4).alias("feat"),
     )
 
 
@@ -1634,6 +1658,5 @@ def oracle_sql() -> dict[str, str]:
         "simhash64": _simhash_sql(),
         "simhash_pairs": _simhash_pairs_sql(),
         "webgraph_pagerank": _webgraph_pagerank_sql(PR_ITERS),
-        # media_features: intentionally rows-only (binary media decode
-        # is not SQL-expressible); schema/determinism pinned in tests/.
+        "media_features": _media_features_sql(),
     }

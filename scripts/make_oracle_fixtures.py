@@ -232,6 +232,65 @@ def make_simhash_sigs() -> None:
     print(f"simhash_sigs: {len(doc_ids)} docs from {SF_DIR}")
 
 
+def make_media_features(n: int = 200, seed: int = 42, feat_dim: int = 8) -> None:
+    """Independent scalar reimplementation of the multimodal stub
+    pipeline (pipeline/multimodal.synth_media + decode_and_featurize):
+    pure-Python int arithmetic for the splitmix64 pixel chain — NOT the
+    numpy-vectorized kernel under test — so a green row genuinely
+    cross-validates the Arrow-batched decode."""
+    import hashlib
+
+    M64 = (1 << 64) - 1
+    MIX1, MIX2, MIX3 = 0x9E3779B97F4A7C15, 0xBF58476D1CE4E5B9, 0x94D049BB133111EB
+    kinds = ["image", "audio", "video"]
+    out = {k: [] for k in ("media_id", "kind", "decoded_w", "decoded_h", "band", "feat")}
+    for i in range(n):
+        payload = hashlib.sha256(f"{seed}:{i}".encode()).digest() * 4
+        w, h = 8 + i % 32, 8 + (i * 7) % 32
+        s = int.from_bytes(hashlib.md5(payload).digest()[:8], "little")
+
+        def pixel(k: int) -> int:
+            x = (s * MIX1 + k * MIX2) & M64
+            x ^= x >> 30
+            x = (x * MIX2) & M64
+            x ^= x >> 27
+            x = (x * MIX3) & M64
+            x ^= x >> 31
+            return x & 0xFF
+
+        # np.array_split row boundaries over h rows -> flat pixel ranges
+        for j in range(feat_dim):
+            r0 = j * (h // feat_dim) + min(j, h % feat_dim)
+            r1 = (j + 1) * (h // feat_dim) + min(j + 1, h % feat_dim)
+            p0, p1 = r0 * w, r1 * w
+            if p1 > p0:
+                mean = sum(pixel(k) for k in range(p0, p1)) / (p1 - p0)
+            else:
+                mean = 0.0
+            out["media_id"].append(i)
+            out["kind"].append(kinds[i % 3])
+            out["decoded_w"].append(w)
+            out["decoded_h"].append(h)
+            out["band"].append(j)
+            # the live kernel emits float32 band means; pin that exact
+            # value as a double so both sides round identical inputs
+            out["feat"].append(float(np.float32(mean)))
+    pq.write_table(
+        pa.table(
+            {
+                "media_id": pa.array(out["media_id"], pa.int64()),
+                "kind": pa.array(out["kind"], pa.string()),
+                "decoded_w": pa.array(out["decoded_w"], pa.int32()),
+                "decoded_h": pa.array(out["decoded_h"], pa.int32()),
+                "band": pa.array(out["band"], pa.int32()),
+                "feat": pa.array(out["feat"], pa.float64()),
+            }
+        ),
+        os.path.join(OUT, "media_features.parquet"),
+    )
+    print(f"media_features: {n} media x {feat_dim} bands")
+
+
 if __name__ == "__main__":
     os.makedirs(OUT, exist_ok=True)
     _check_vec()
@@ -239,3 +298,4 @@ if __name__ == "__main__":
     make_mis_priorities()
     make_minhash_sigs()
     make_simhash_sigs()
+    make_media_features()
