@@ -722,6 +722,79 @@ SELECT src, dst FROM (
     return "\n".join(parts)
 
 
+AUCTION_ROUNDS = 6       # measured 4 to convergence at sf0.01; extras no-op
+AUCTION_EPS = 0.125      # dyadic literal -> bit-exact in both engines
+AUCTION_FALLBACK = 2_000_000  # private fallback-object id offset
+
+
+def _auction_sql(rounds: int = AUCTION_ROUNDS) -> str:
+    """Bertsekas auction matching unrolled (algos/auction.py; the
+    reference's one-round sketch is auction.cpp:60-438).  Same slice as
+    matching_max plus one private weight-0.5 fallback object per bidder
+    (the standard feasibility trick: the row side becomes perfectly
+    matchable, so the auction terminates, while bidders still fight
+    real price wars over the shared suppliers).  Every arithmetic step
+    (profit = w − p; bid = p + v1 − v2 + ε, dyadic ε) is elementary
+    per-row IEEE with identical operand order in both engines, so the
+    round-by-round state is bit-identical and the fixed unroll
+    reproduces the Spark loop's converged matching exactly."""
+    parts = [
+        "WITH " + EDGES_CTE.strip() + ",",
+        f"""asl AS MATERIALIZED (
+  SELECT src, dst, w FROM (
+    SELECT src, dst, w, row_number() OVER (PARTITION BY src ORDER BY dst) AS rn
+    FROM edges WHERE src <= {MATCH_SLICE_SRC}
+  ) WHERE rn <= {MATCH_SLICE_K}
+),
+ae AS MATERIALIZED (
+  SELECT src, dst, w FROM asl
+  UNION ALL
+  SELECT DISTINCT src, src + {AUCTION_FALLBACK} AS dst, 0.5 AS w FROM asl
+),
+pr0 AS MATERIALIZED (SELECT DISTINCT dst, 0.0 AS p FROM ae),
+mt0 AS MATERIALIZED (
+  SELECT CAST(NULL AS BIGINT) AS src, CAST(NULL AS BIGINT) AS dst WHERE 1 = 0
+)""",
+    ]
+    for k in range(1, rounds + 1):
+        parts.append(
+            f""",
+rk{k} AS MATERIALIZED (
+  SELECT e.src, e.dst, e.w - p.p AS profit, p.p,
+         row_number() OVER (PARTITION BY e.src
+                            ORDER BY (e.w - p.p) DESC, e.dst ASC) AS rn
+  FROM ae e JOIN pr{k-1} p ON p.dst = e.dst
+  WHERE NOT EXISTS (SELECT 1 FROM mt{k-1} m WHERE m.src = e.src)
+),
+bid{k} AS MATERIALIZED (
+  SELECT b.src, b.dst,
+         b.p + b.profit - coalesce(s.profit, b.profit - 1.0)
+           + {AUCTION_EPS} AS bid
+  FROM (SELECT * FROM rk{k} WHERE rn = 1) b
+  LEFT JOIN (SELECT * FROM rk{k} WHERE rn = 2) s ON s.src = b.src
+),
+win{k} AS MATERIALIZED (
+  SELECT src, dst, bid FROM (
+    SELECT *, row_number() OVER (PARTITION BY dst
+                                 ORDER BY bid DESC, src ASC) AS rn
+    FROM bid{k}
+  ) WHERE rn = 1
+),
+pr{k} AS MATERIALIZED (
+  SELECT p.dst, p.p FROM pr{k-1} p
+  WHERE NOT EXISTS (SELECT 1 FROM win{k} w WHERE w.dst = p.dst)
+  UNION ALL SELECT dst, bid AS p FROM win{k}
+),
+mt{k} AS MATERIALIZED (
+  SELECT m.src, m.dst FROM mt{k-1} m
+  WHERE NOT EXISTS (SELECT 1 FROM win{k} w WHERE w.dst = m.dst)
+  UNION ALL SELECT src, dst FROM win{k}
+)"""
+        )
+    parts.append(f"\nSELECT src, dst FROM mt{rounds}")
+    return "\n".join(parts)
+
+
 MCL_ITERS = 2
 MCL_K = 50
 MCL_PRUNE = 1e-4
@@ -760,6 +833,102 @@ loops AS MATERIALIZED (
 a0 AS MATERIALIZED (
   SELECT src, dst, round(w / sum(w) OVER (PARTITION BY dst), {MCL_QUANT}) AS w
   FROM loops
+)""",
+    ]
+    for k in range(1, n_iter + 1):
+        parts.append(
+            f""",
+x{k} AS MATERIALIZED (
+  SELECT a.src, b.dst, round(sum(a.w * b.w), {MCL_QUANT}) AS w
+  FROM a{k-1} a JOIN a{k-1} b ON a.dst = b.src
+  GROUP BY a.src, b.dst
+),
+p{k} AS MATERIALIZED (
+  SELECT src, dst, w FROM (
+    SELECT src, dst, w,
+           row_number() OVER (PARTITION BY dst ORDER BY w DESC, src ASC) AS rn
+    FROM x{k} WHERE w >= {MCL_PRUNE}
+  ) WHERE rn <= {MCL_K}
+),
+a{k} AS MATERIALIZED (
+  SELECT src, dst,
+         round(pow(w, {MCL_INFLATION})
+               / sum(pow(w, {MCL_INFLATION})) OVER (PARTITION BY dst),
+               {MCL_QUANT}) AS w
+  FROM p{k}
+)"""
+        )
+    parts.append(f"\nSELECT src, dst, round(w, 6) AS w FROM a{n_iter}")
+    return "\n".join(parts)
+
+
+def _mcl_inc_sql(n_iter: int = MCL_ITERS) -> str:
+    """Incremental-MCL step unrolled (IncClust.h:610-900 /
+    algos/incremental.assemble_minc + algos/mcl.mcl_fixed): reassemble
+    the Minc block matrix from the pinned summary + new-batch INPUT
+    fixtures — per-block column-stochastic rescale by row dimension
+    (normalizedAssign, IncClust.h:1127-1143) — then run the same
+    fixed-iteration MCL unroll as the mcl2 gate.  Fixture weights are
+    dyadic so every block column sum is exact; quantization at
+    MCL_QUANT kills expansion summation noise as in _mcl_sql."""
+    summ = _fixture("mcl_inc_summary.parquet")
+    newe = _fixture("mcl_inc_new_edges.parquet")
+    parts = [
+        f"""WITH summ AS MATERIALIZED (
+  SELECT src, dst, w FROM read_parquet('{summ}')
+),
+ne0 AS MATERIALIZED (
+  SELECT src, dst, w FROM read_parquet('{newe}')
+),
+oldv AS MATERIALIZED (
+  SELECT DISTINCT v FROM (
+    SELECT src AS v FROM summ UNION ALL SELECT dst AS v FROM summ
+  )
+),
+ne AS MATERIALIZED (
+  SELECT * FROM ne0
+  WHERE NOT (src IN (SELECT v FROM oldv) AND dst IN (SELECT v FROM oldv))
+),
+dims AS MATERIALIZED (
+  SELECT (SELECT count(*) FROM oldv) AS n_old,
+         (SELECT count(DISTINCT v) FROM (
+            SELECT src AS v FROM ne UNION ALL SELECT dst AS v FROM ne
+          ) WHERE v NOT IN (SELECT v FROM oldv)) AS n_new
+),
+asm AS MATERIALIZED (
+  SELECT src, dst,
+         round(w / sum(w) OVER (PARTITION BY dst)
+               * (SELECT n_old FROM dims), {MCL_QUANT}) AS w
+  FROM summ
+  UNION ALL
+  SELECT src, dst,
+         round(w / sum(w) OVER (PARTITION BY dst)
+               * (SELECT n_old FROM dims), {MCL_QUANT}) AS w
+  FROM ne WHERE src IN (SELECT v FROM oldv) AND dst NOT IN (SELECT v FROM oldv)
+  UNION ALL
+  SELECT src, dst,
+         round(w / sum(w) OVER (PARTITION BY dst)
+               * (SELECT n_new FROM dims), {MCL_QUANT}) AS w
+  FROM ne WHERE src NOT IN (SELECT v FROM oldv) AND dst IN (SELECT v FROM oldv)
+  UNION ALL
+  SELECT src, dst,
+         round(w / sum(w) OVER (PARTITION BY dst)
+               * (SELECT n_new FROM dims), {MCL_QUANT}) AS w
+  FROM ne WHERE src NOT IN (SELECT v FROM oldv) AND dst NOT IN (SELECT v FROM oldv)
+),
+iverts AS MATERIALIZED (
+  SELECT DISTINCT v FROM (
+    SELECT src AS v FROM asm UNION ALL SELECT dst AS v FROM asm
+  )
+),
+iloops AS MATERIALIZED (
+  SELECT src, dst, w FROM asm WHERE src <> dst
+  UNION ALL
+  SELECT v AS src, v AS dst, 1.0 AS w FROM iverts
+),
+a0 AS MATERIALIZED (
+  SELECT src, dst, round(w / sum(w) OVER (PARTITION BY dst), {MCL_QUANT}) AS w
+  FROM iloops
 )""",
     ]
     for k in range(1, n_iter + 1):
@@ -1443,6 +1612,68 @@ def q_matching_max(spark: SparkSession, sf_dir: str) -> DataFrame:
     return maximum_bipartite_matching(spark, Graph(edges=e, n_partitions=8))
 
 
+def q_auction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Auction-matching gate (algos/auction.py — the COMPLETE Bertsekas
+    loop the reference's auction.cpp:60-438 sketches one round of).
+    Same deterministic slice as matching_max plus one private
+    weight-0.5 fallback object per bidder so the row side is perfectly
+    matchable and the auction terminates; eps = 0.125 (dyadic) keeps
+    the round-by-round price state bit-identical to the SQL unroll.
+    The Spark side runs the real convergence loop (measured 4 rounds at
+    sf0.01; the unroll carries {AUCTION_ROUNDS} with trailing no-ops)."""
+    from combblas_spark.algos.auction import auction_matching
+    from combblas_spark.graph import Graph
+
+    g = _graph(spark, sf_dir)
+    w = Window.partitionBy("src").orderBy("dst")
+    e = (
+        g.edges.filter(F.col("src") <= MATCH_SLICE_SRC)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= MATCH_SLICE_K)
+        .select("src", "dst", "w")
+    )
+    fb = e.select("src").distinct().select(
+        "src",
+        (F.col("src") + AUCTION_FALLBACK).alias("dst"),
+        F.lit(0.5).alias("w"),
+    )
+    return auction_matching(
+        spark, Graph(edges=e.unionByName(fb), n_partitions=8), eps=AUCTION_EPS
+    )
+
+
+def q_mcl_inc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-MCL step gate (IncClust.h:610-900): the REAL
+    assemble_minc block assembly (normalizedAssign rescale included)
+    over the pinned summary + new-batch input fixtures, then the same
+    fixed-iteration MCL engine the mcl2 gate runs — the oracle
+    recomputes the whole assemble→expand→prune→inflate pipeline in
+    unrolled SQL from the same inputs."""
+    from combblas_spark.algos.incremental import assemble_minc
+    from combblas_spark.algos.mcl import mcl_fixed
+    from combblas_spark.graph import Graph
+
+    summary = spark.read.parquet(_fixture("mcl_inc_summary.parquet"))
+    ne = spark.read.parquet(_fixture("mcl_inc_new_edges.parquet"))
+    old = (
+        summary.select(F.col("src").alias("v"))
+        .unionByName(summary.select(F.col("dst").alias("v")))
+        .distinct()
+    )
+    assembled = assemble_minc(old, summary, ne, normalized_assign=True)
+    assembled = assembled.withColumn("w", F.round("w", MCL_QUANT))
+    m = mcl_fixed(
+        spark,
+        Graph(edges=assembled, n_partitions=4),
+        n_iter=MCL_ITERS,
+        inflation=MCL_INFLATION,
+        prune_below=MCL_PRUNE,
+        select_k=MCL_K,
+        quantize=MCL_QUANT,
+    )
+    return m.select("src", "dst", F.round("w", 6).alias("w"))
+
+
 def _sym_unit_graph(spark: SparkSession, sf_dir: str, max_src: int | None = None):
     """Symmetrized 0/1-weight view of the link graph (SYM_EDGES_CTE);
     ``max_src`` bounds it to the deterministic src-slice subgraph."""
@@ -1601,9 +1832,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features": q_media_features,
         "matching3": q_matching,
         "matching_max": q_matching_max,
+        "auction2": q_auction,
         "awpm2": q_awpm,
         "rcm": q_rcm,
         "mcl2": q_mcl,
+        "mcl_inc": q_mcl_inc,
         "betweenness": q_betweenness,
         "induced_edges": q_induced_edges,
         "graph_metrics": q_graph_metrics,
@@ -1641,9 +1874,11 @@ def oracle_sql() -> dict[str, str]:
         "embed_pairs": EMBED_PAIRS_SQL,
         "matching3": _matching_sql(MATCH_ROUNDS),
         "matching_max": _matching_max_sql(),
+        "auction2": _auction_sql(AUCTION_ROUNDS),
         "awpm2": _awpm_sql(MATCH_ROUNDS, AWPM_ITERS),
         "rcm": _rcm_sql(RCM_LEVELS),
         "mcl2": _mcl_sql(MCL_ITERS),
+        "mcl_inc": _mcl_inc_sql(MCL_ITERS),
         "betweenness": _betweenness_sql(BC_SOURCES, BC_DEPTH),
         "induced_edges": INDUCED_EDGES_SQL,
         "graph_metrics": GRAPH_METRICS_SQL,

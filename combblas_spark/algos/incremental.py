@@ -82,6 +82,60 @@ def _normalized_block(block: DataFrame, nrows: int) -> DataFrame:
     )
 
 
+def assemble_minc(
+    old_vs: DataFrame,
+    summary_e: DataFrame,
+    ne: DataFrame,
+    normalized_assign: bool = False,
+) -> DataFrame:
+    """Assemble the Minc block matrix (IncClust.h:610-700) as one edge
+    DataFrame: ``summary_e`` is M11 over the ``old_vs`` (v) vertices,
+    ``ne`` carries every edge incident to a new vertex (M12 ∪ M21 ∪
+    M22; wholly-old pairs are dropped here — the summary already
+    represents them, and a pair present in both inputs would otherwise
+    double-count through the union).  With ``normalized_assign`` each
+    block is made column-stochastic and rescaled by its row dimension
+    (getnrow(): |old| for M11/M12, |new| for M21/M22,
+    IncClust.h:1127-1143) before the union."""
+    old = old_vs.select("v")
+    both_old = (
+        ne.join(old.withColumnRenamed("v", SRC), SRC, "left_semi")
+        .join(old.withColumnRenamed("v", DST), DST, "left_semi")
+        .select(SRC, DST)
+        .distinct()
+    )
+    ne = ne.join(both_old, [SRC, DST], "left_anti")
+    if not normalized_assign:
+        return summary_e.unionByName(ne)
+    old_s = old.withColumnRenamed("v", SRC)
+    old_d = old.withColumnRenamed("v", DST)
+    m12 = ne.join(old_s, SRC, "left_semi").join(old_d, DST, "left_anti")
+    m21 = ne.join(old_s, SRC, "left_anti").join(old_d, DST, "left_semi")
+    m22 = ne.join(old_s, SRC, "left_anti").join(old_d, DST, "left_anti")
+    n_old = old.count()
+    n_new = (
+        ne.select(F.col(SRC).alias("v"))
+        .unionByName(ne.select(F.col(DST).alias("v")))
+        .distinct()
+        .join(old, "v", "left_anti")
+        .count()
+    )
+    parts = [
+        _normalized_block(b.select(SRC, DST, W), nr)
+        for b, nr in (
+            (summary_e, n_old),
+            (m12, n_old),
+            (m21, n_new),
+            (m22, n_new),
+        )
+        if not b.isEmpty()
+    ]
+    assembled = parts[0]
+    for p in parts[1:]:
+        assembled = assembled.unionByName(p)
+    return assembled
+
+
 @dataclass
 class IncrementalClustering:
     clusters: DataFrame   # (v, cluster) over all vertices seen so far
@@ -144,47 +198,9 @@ def mcl_incremental_step(
 
     ne = as_edges(new_edges, w=W if W in new_edges.columns else None)
     old = state.clusters.select("v")
-    both_old = (
-        ne.join(old.withColumnRenamed("v", SRC), SRC, "left_semi")
-        .join(old.withColumnRenamed("v", DST), DST, "left_semi")
-        .select(SRC, DST)
-        .distinct()
+    assembled = assemble_minc(
+        old, state.summary.edges, ne, normalized_assign=normalized_assign
     )
-    ne = ne.join(both_old, [SRC, DST], "left_anti")
-    summary_e = state.summary.edges
-    if normalized_assign:
-        # split ne into its three blocks by endpoint age and rescale
-        # each block (the summary IS the fourth block, M11).  Row
-        # dimensions follow the reference's getnrow(): M11/M12 span
-        # the |old| rows, M21/M22 the |new| rows (IncClust.h:1127-1143).
-        old_s = old.withColumnRenamed("v", SRC)
-        old_d = old.withColumnRenamed("v", DST)
-        m12 = ne.join(old_s, SRC, "left_semi").join(old_d, DST, "left_anti")
-        m21 = ne.join(old_s, SRC, "left_anti").join(old_d, DST, "left_semi")
-        m22 = ne.join(old_s, SRC, "left_anti").join(old_d, DST, "left_anti")
-        n_old = old.count()
-        n_new = (
-            ne.select(F.col(SRC).alias("v"))
-            .unionByName(ne.select(F.col(DST).alias("v")))
-            .distinct()
-            .join(old, "v", "left_anti")
-            .count()
-        )
-        parts = [
-            _normalized_block(b.select(SRC, DST, W), nr)
-            for b, nr in (
-                (summary_e, n_old),
-                (m12, n_old),
-                (m21, n_new),
-                (m22, n_new),
-            )
-            if not b.isEmpty()
-        ]
-        assembled = parts[0]
-        for p in parts[1:]:
-            assembled = assembled.unionByName(p)
-    else:
-        assembled = summary_e.unionByName(ne)
     minc = Graph(
         edges=assembled.localCheckpoint(eager=True),
         n_partitions=state.summary.n_partitions,

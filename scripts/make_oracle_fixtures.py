@@ -291,6 +291,61 @@ def make_media_features(n: int = 200, seed: int = 42, feat_dim: int = 8) -> None
     print(f"media_features: {n} media x {feat_dim} bands")
 
 
+def make_mcl_inc_inputs() -> None:
+    """Pinned INPUTS for the incremental-MCL gate (these play the role
+    of test data, not expected output — the oracle recomputes the
+    whole assemble→MCL pipeline in SQL from them):
+
+    * ``mcl_inc_summary.parquet`` — M11: the column-stochastic summary
+      of two 4-cliques over old vertices 0..7 (each column holds its 4
+      clique members at 0.25, self included — the converged MCL state
+      of a clique).  All values dyadic so every downstream column sum
+      is exact.
+    * ``mcl_inc_new_edges.parquet`` — one new K5 clique {8..12} plus
+      cross edges 12↔{0..3} (vertex 12 also bridges into the first old
+      clique), weight 1.0 — M12 ∪ M21 ∪ M22.
+    """
+    s_src, s_dst, s_w = [], [], []
+    for base in (0, 4):
+        members = range(base, base + 4)
+        for d in members:
+            for s in members:
+                s_src.append(s)
+                s_dst.append(d)
+                s_w.append(0.25)
+    pq.write_table(
+        pa.table(
+            {
+                "src": pa.array(s_src, pa.int64()),
+                "dst": pa.array(s_dst, pa.int64()),
+                "w": pa.array(s_w, pa.float64()),
+            }
+        ),
+        os.path.join(OUT, "mcl_inc_summary.parquet"),
+    )
+    n_src, n_dst = [], []
+    new_vs = range(8, 13)
+    for a in new_vs:
+        for b in new_vs:
+            if a != b:
+                n_src.append(a)
+                n_dst.append(b)
+    for v in range(4):
+        n_src.extend([12, v])
+        n_dst.extend([v, 12])
+    pq.write_table(
+        pa.table(
+            {
+                "src": pa.array(n_src, pa.int64()),
+                "dst": pa.array(n_dst, pa.int64()),
+                "w": pa.array([1.0] * len(n_src), pa.float64()),
+            }
+        ),
+        os.path.join(OUT, "mcl_inc_new_edges.parquet"),
+    )
+    print(f"mcl_inc inputs: summary {len(s_src)} nnz, new {len(n_src)} edges")
+
+
 if __name__ == "__main__":
     os.makedirs(OUT, exist_ok=True)
     _check_vec()
@@ -299,3 +354,4 @@ if __name__ == "__main__":
     make_minhash_sigs()
     make_simhash_sigs()
     make_media_features()
+    make_mcl_inc_inputs()
