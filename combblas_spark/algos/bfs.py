@@ -170,3 +170,123 @@ def bfs_dir_opt(
         parents = parents.unionByName(new).localCheckpoint(eager=True)
         frontier = new.select("v")
     return parents
+
+
+def random_parent_bfs(
+    spark: SparkSession,
+    g: Graph,
+    source: int,
+    seed: int = 42,
+    symmetrize: bool = True,
+    max_iter: int = 10_000,
+) -> DataFrame:
+    """BFS with RANDOM parent selection (Applications/RandomParentBFS.
+    cpp:92-117, SelectRandSRing): every eligible (frontier, child) edge
+    draws a priority and the child adopts the minimum-priority parent —
+    versus ``bfs``'s deterministic max-id choice.
+
+    The reference draws ``GlobalMT.rand()`` per multiply; here the
+    priority is ``xxhash64(parent, child, level, seed)`` — the same
+    "uniform random eligible parent" distribution but reproducible
+    under a fixed seed (the reference's own DETERMINISTIC-build
+    MTRand(1) trick, TopDownBFS.cpp:29).  Level sets are identical to
+    ``bfs`` (parent choice never changes reachability), which is the
+    cross-path consistency check the tests pin."""
+    e = g.edges.select(SRC, DST)
+    if symmetrize:
+        e = e.unionByName(e.select(F.col(DST).alias(SRC), F.col(SRC).alias(DST)))
+        e = e.distinct()
+    edges = e.repartition(g.n_partitions, SRC).cache()
+    edges.count()
+
+    parents = spark.createDataFrame(
+        [(source, source, 0)], schema="v long, parent long, level int"
+    )
+    frontier = parents.select("v")
+    frontier_size = 1
+
+    level = 0
+    while frontier_size > 0 and level < max_iter:
+        level += 1
+        fr = F.broadcast(frontier) if frontier_size < BROADCAST_NNZ_CUTOFF else frontier
+        # SelectRandSRing: min random priority among eligible parents
+        pri = F.xxhash64(
+            F.col(SRC), F.col(DST), F.lit(level).cast("long"),
+            F.lit(seed).cast("long"),
+        )
+        cand = (
+            edges.join(fr, edges[SRC] == fr["v"], "inner")
+            .withColumn("_pri", pri)
+            .groupBy(F.col(DST).alias("v"))
+            .agg(F.min_by(SRC, "_pri").alias("parent"))
+        )
+        new = cand.join(parents.select("v"), "v", "left_anti").withColumn(
+            "level", F.lit(level)
+        )
+        new = new.localCheckpoint(eager=True)
+        frontier_size = new.count()
+        if frontier_size == 0:
+            break
+        parents = parents.unionByName(new).localCheckpoint(eager=True)
+        frontier = new.select("v")
+    return parents
+
+
+def single_child_bfs(
+    spark: SparkSession,
+    g: Graph,
+    source: int,
+    symmetrize: bool = True,
+    max_iter: int = 10_000,
+) -> DataFrame:
+    """BFS that also tracks the SINGLE-CHILD frontier (Applications/
+    SingleChildBFS.cpp:280-281): after each level's parent assignment,
+    ``fringe.Uniq(RandReduce)`` keeps ONE representative child per
+    parent — the thinned frontier a sampling traversal would expand.
+
+    Parent selection matches ``bfs`` (max eligible predecessor); the
+    representative per (parent, level) is the min child id (a
+    deterministic stand-in for the reference's random reduce — same
+    cardinality, reproducible).  Returns (v, parent, level,
+    single_child) where exactly one row per (parent, level ≥ 1) has
+    ``single_child`` true."""
+    e = g.edges.select(SRC, DST)
+    if symmetrize:
+        e = e.unionByName(e.select(F.col(DST).alias(SRC), F.col(SRC).alias(DST)))
+        e = e.distinct()
+    edges = e.repartition(g.n_partitions, SRC).cache()
+    edges.count()
+
+    parents = spark.createDataFrame(
+        [(source, source, 0, True)],
+        schema="v long, parent long, level int, single_child boolean",
+    )
+    frontier = parents.select("v")
+    frontier_size = 1
+
+    level = 0
+    while frontier_size > 0 and level < max_iter:
+        level += 1
+        fr = F.broadcast(frontier) if frontier_size < BROADCAST_NNZ_CUTOFF else frontier
+        cand = (
+            edges.join(fr, edges[SRC] == fr["v"], "inner")
+            .groupBy(F.col(DST).alias("v"))
+            .agg(F.max(SRC).alias("parent"))
+        )
+        new = cand.join(parents.select("v"), "v", "left_anti").withColumn(
+            "level", F.lit(level)
+        )
+        # fringe.Uniq: one representative child per parent this level
+        rep = new.groupBy("parent").agg(F.min("v").alias("_rep"))
+        new = (
+            new.join(rep, "parent")
+            .withColumn("single_child", F.col("v") == F.col("_rep"))
+            .select("v", "parent", "level", "single_child")
+            .localCheckpoint(eager=True)
+        )
+        frontier_size = new.count()
+        if frontier_size == 0:
+            break
+        parents = parents.unionByName(new).localCheckpoint(eager=True)
+        frontier = new.select("v")
+    return parents

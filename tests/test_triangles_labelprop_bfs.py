@@ -129,3 +129,70 @@ def test_dir_opt_bfs_clique_bottom_up_branch(spark):
     rows = bfs_dir_opt(spark, g, 0).collect()
     levels = {r["v"]: r["level"] for r in rows}
     assert levels == {0: 0, 1: 1, 2: 1, 3: 1, 4: 1}
+
+
+@pytest.mark.parametrize("name,triples,src", [
+    ("seven", FX.SEVEN, 0),
+    ("nine", FX.NINE, 0),
+])
+def test_random_parent_bfs_validity_and_determinism(spark, name, triples, src):
+    """RandomParentBFS (RandomParentBFS.cpp:92-117): levels identical
+    to bfs (parent choice never changes reachability), every parent a
+    valid level-(k-1) neighbor, and a fixed seed reproduces the exact
+    parent set (the DETERMINISTIC-build MTRand(1) trick)."""
+    from combblas_spark.algos.bfs import random_parent_bfs
+
+    g = FX.graph(spark, triples)
+    rows = random_parent_bfs(spark, g, src, seed=7).collect()
+    got_levels = {r["v"]: r["level"] for r in rows}
+    assert got_levels == python_bfs(triples, src), name
+    adj = set()
+    for s, d, _ in triples:
+        adj.add((s, d))
+        adj.add((d, s))
+    for r in rows:
+        if r["v"] == src:
+            assert r["parent"] == src
+        else:
+            assert got_levels[r["parent"]] == r["level"] - 1
+            assert (r["parent"], r["v"]) in adj
+    again = {(r["v"], r["parent"]) for r in random_parent_bfs(spark, g, src, seed=7).collect()}
+    assert again == {(r["v"], r["parent"]) for r in rows}
+
+
+def test_random_parent_bfs_differs_from_max_parent(spark):
+    """On the star the hub's children all share the hub parent, but on
+    a diamond (two paths to the sink) the seeded-hash choice must be a
+    real choice: across seeds both parents appear (it is random, not
+    the deterministic max)."""
+    from combblas_spark.algos.bfs import random_parent_bfs
+
+    # diamond: 0 -> 1, 0 -> 2, 1 -> 3, 2 -> 3
+    triples = [(0, 1, 1.0), (0, 2, 1.0), (1, 3, 1.0), (2, 3, 1.0)]
+    g = FX.graph(spark, triples)
+    seen = set()
+    for seed in range(8):
+        rows = {r["v"]: r["parent"] for r in random_parent_bfs(spark, g, 0, seed=seed).collect()}
+        seen.add(rows[3])
+    assert seen == {1, 2}
+
+
+def test_single_child_bfs_one_rep_per_parent(spark):
+    """SingleChildBFS (SingleChildBFS.cpp:280-281): (v, parent, level)
+    matches bfs exactly, and each (parent, level>=1) flags exactly one
+    single_child representative — the min child id."""
+    from combblas_spark.algos.bfs import single_child_bfs
+
+    triples = FX.TWO_CLIQUES
+    g = FX.graph(spark, triples)
+    rows = single_child_bfs(spark, g, 0).collect()
+    base = {(r["v"], r["parent"], r["level"]) for r in bfs(spark, g, 0).collect()}
+    assert {(r["v"], r["parent"], r["level"]) for r in rows} == base
+    from collections import defaultdict
+    kids = defaultdict(list)
+    for r in rows:
+        if r["level"] >= 1:
+            kids[(r["parent"], r["level"])].append((r["v"], r["single_child"]))
+    for (p, lv), vs in kids.items():
+        flagged = [v for v, s in vs if s]
+        assert flagged == [min(v for v, _ in vs)], (p, lv)
