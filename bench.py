@@ -33,6 +33,13 @@ def build_spark(cpus: int, shuffle: int):
     from combblas_spark.session import get_spark
 
     extra = {}
+    # superseded per-iteration broadcast blocks (one contrib relation per
+    # PageRank superstep) are reaped by ContextCleaner only after a JVM
+    # GC, which a mostly-empty 48g heap may not run for the whole bench —
+    # run the cleaner's periodic GC often, and make explicit GC a
+    # concurrent cycle instead of a stop-the-world pause
+    extra["spark.cleaner.periodicGC.interval"] = "45s"
+    extra["spark.driver.extraJavaOptions"] = "-XX:+ExplicitGCInvokesConcurrent"
     # memory-backed shuffle dirs remove local-disk contention between
     # concurrent shuffle writers (bench-only; a real cluster has
     # per-executor disks + the external shuffle service)

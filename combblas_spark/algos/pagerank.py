@@ -39,6 +39,31 @@ from pyspark.sql import functions as F
 from ..graph import SRC, DST, Graph
 
 
+def _persistent_rdd_ids(spark: SparkSession) -> set[int]:
+    """Ids of all RDDs currently persisted in the block manager."""
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    return {int(k) for k in jmap.keySet().toArray()}
+
+
+def _unpersist_rdds(spark: SparkSession, ids: set[int]) -> None:
+    """Non-blocking unpersist of the given persisted RDD ids.
+
+    Iterative localCheckpoint loops leak superseded checkpoint blocks
+    until a (rare, 48g-heap) JVM GC lets ContextCleaner reap them; on a
+    long run the block-manager pressure degrades later iterations (the
+    round-4 scaling series show 7.4->13.3 s/iter drift within a run).
+    The reference's equivalent is simply freeing the previous iteration's
+    dense vector (pagerank.cpp swaps two preallocated vectors); this is
+    the explicit-free analogue for checkpoint-backed DataFrames.
+    """
+    if not ids:
+        return
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    for k in jmap.keySet().toArray():
+        if int(k) in ids:
+            jmap.get(k).unpersist(False)
+
+
 @dataclass
 class PageRankResult:
     ranks: DataFrame          # (v: long, rank: double)
@@ -160,6 +185,11 @@ def pagerank(
         dangling = float(
             ranks.filter(F.col("deg") == 0).agg(F.sum("rank")).collect()[0][0] or 0.0
         )
+    # Everything persisted up to here (edge cache, vd cache, a resumed
+    # snapshot) is load-bearing across iterations — protect it; anything
+    # persisted later is an iteration checkpoint, superseded as soon as
+    # the next one lands.
+    protected_rdds = _persistent_rdd_ids(spark)
     if ranks is None:
         # init 1/n; ranks carries deg so the iteration needs no extra join
         ranks = vd.select("v", "deg", F.lit(1.0 / n).alias("rank"))
@@ -172,6 +202,7 @@ def pagerank(
     loop_t0 = _time.time()
     while it < max_iter and delta > tol:
         _it_t0 = _time.time()
+        superseded = _persistent_rdd_ids(spark) - protected_rdds
         # PlusTimes SpMV: edges ⋈ contrib (broadcast) → groupBy(dst).sum.
         # contrib = rank/deg for non-dangling sources.
         contrib = (
@@ -250,6 +281,10 @@ def pagerank(
                     ).alias("dm")
                 ).collect()[0]["dm"]
             )
+        # the action above materialized THIS iteration's checkpoint; every
+        # loop-created snapshot from before it is now superseded — free
+        # its blocks instead of waiting on a full-GC-triggered cleaner
+        _unpersist_rdds(spark, superseded)
         ranks = snap.select("v", "deg", "rank")
         it += 1
         iter_seconds.append(_time.time() - _it_t0)

@@ -77,6 +77,9 @@ def spmv(
     val_col: str = "val",
     broadcast_vector: bool | None = None,
     vec_nnz: int | None = None,
+    auto_salt: bool = False,
+    skew_stats: tuple[int, int] | None = None,
+    n_partitions: int | None = None,
 ) -> DataFrame:
     """y(v, val) = Aᵀ ⊗ x : propagate values from src along edges to dst.
 
@@ -85,7 +88,21 @@ def spmv(
 
     broadcast_vector: force the SpMSpV broadcast path; default auto
     (broadcast when ``vec_nnz`` is known-small).
+
+    auto_salt: route through :func:`spmv_salted` when the in-degree
+    stats say the reduce is hub-skewed (see :func:`should_salt`).  Pass
+    precomputed ``skew_stats=(max_in_degree, m)`` for iterative kernels
+    (degrees are static — compute once via :func:`in_degree_skew`);
+    without it the stats cost one extra aggregate pass here.  Measured
+    evidence: BASELINE.md round-5 skew table (hub graph with one dst
+    holding ~2% of m).
     """
+    if auto_salt:
+        if skew_stats is None:
+            skew_stats = in_degree_skew(g)
+        parts = n_partitions or g.n_partitions
+        if should_salt(skew_stats[0], skew_stats[1], parts):
+            return spmv_salted(g, vec, semiring=semiring, val_col=val_col)
     if broadcast_vector is None:
         broadcast_vector = vec_nnz is not None and vec_nnz < BROADCAST_NNZ_CUTOFF
     # beyond broadcast reach: shuffled-hash join of the vector side
@@ -98,6 +115,44 @@ def spmv(
         .groupBy(F.col(DST).alias("v"))
         .agg(semiring.aggregate(contrib).alias(val_col))
     )
+
+
+def in_degree_skew(g: Graph) -> tuple[int, int]:
+    """(max_in_degree, num_edges) — one aggregate pass over the edges.
+
+    The SpMV reduce key is ``dst``, so the heaviest reduce key holds
+    ``max_in_degree`` of the ``m`` contribution rows.  Compute once per
+    graph (degrees are static across iterative kernels) and feed
+    :func:`should_salt` / ``spmv(auto_salt=True, skew_stats=...)``.
+    """
+    row = (
+        g.edges.groupBy(DST)
+        .agg(F.count("*").alias("d"))
+        .agg(F.max("d").alias("mx"), F.sum("d").alias("m"))
+        .collect()[0]
+    )
+    return int(row["mx"]), int(row["m"])
+
+
+def should_salt(
+    max_in_degree: int,
+    num_edges: int,
+    n_partitions: int,
+    factor: float = 4.0,
+) -> bool:
+    """Salt when the hottest reduce key exceeds ``factor`` × the mean
+    per-partition share (``m / n_partitions``).
+
+    Rationale: groupBy(dst) hash-partitions reduce keys, so one dst's
+    rows land in ONE partition; a hub holding ≫ m/P rows makes that
+    partition the straggler no matter how many executors exist (the
+    situation the reference's adaptive ReduceAssign, CC.h:579-737,
+    detects via per-process recv counts).  Below the threshold the
+    extra salted aggregation level only adds a second shuffle.
+    """
+    if n_partitions <= 1 or num_edges == 0:
+        return False
+    return max_in_degree > factor * (num_edges / n_partitions)
 
 
 def spmv_salted(

@@ -26,6 +26,8 @@ reference in functions/xxh.py).
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -52,11 +54,58 @@ def word_ngrams(docs: DataFrame, n: int = 3, text_col: str = "text") -> DataFram
     )
 
 
+def auto_max_df(n_docs: int) -> int:
+    """Corpus-size-derived stop-gram cap: ``max(1000, 2·⌈√n_docs⌉)``.
+
+    Scale argument: the inverted-index self-join does Σ_g df_g² work;
+    bounding every df_g by c gives Σ df_g² ≤ c · Σ df_g, i.e. join work
+    ≤ 2√n_docs · total_postings — **subquadratic in corpus size** no
+    matter how adversarial the gram distribution.  A fixed literal cap
+    (the old 10,000 default) is either wastefully tight at web scale or
+    quadratic-explosive on small corpora with many near-cap grams.
+    """
+    return max(1_000, 2 * math.isqrt(max(n_docs, 0)))
+
+
+def ngram_max_df_envelope(
+    docs: DataFrame, n: int = 3, max_df: int | str | None = "auto"
+) -> DataFrame:
+    """One-row exactness envelope for the ``max_df`` stop-gram cap.
+
+    Columns: ``max_df`` (the resolved cap), ``total_postings`` /
+    ``dropped_postings`` (doc×gram rows before/after the cap),
+    ``dropped_mass`` (fraction of posting mass excluded from the
+    self-join — pairs whose ENTIRE intersection lies in that mass are
+    the only ones ``ngram_jaccard_pairs`` can miss), ``n_stop_grams``.
+    Emit this alongside any capped dedup run so the recall envelope is
+    recorded, not guessed.
+    """
+    grams = word_ngrams(docs, n=n)
+    if max_df == "auto" or max_df is None:
+        max_df = auto_max_df(docs.count())
+    df_counts = grams.groupBy("gram").agg(F.count("*").alias("df"))
+    return df_counts.agg(
+        F.lit(int(max_df)).alias("max_df"),
+        F.sum("df").alias("total_postings"),
+        F.coalesce(
+            F.sum(F.when(F.col("df") > max_df, F.col("df"))), F.lit(0)
+        ).alias("dropped_postings"),
+        F.round(
+            F.coalesce(F.sum(F.when(F.col("df") > max_df, F.col("df"))), F.lit(0))
+            / F.sum("df"),
+            6,
+        ).alias("dropped_mass"),
+        F.coalesce(
+            F.count(F.when(F.col("df") > max_df, F.lit(1))), F.lit(0)
+        ).alias("n_stop_grams"),
+    )
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     n: int = 3,
     threshold: float = 0.8,
-    max_df: int | None = 10_000,
+    max_df: int | str | None = "auto",
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs (a < b, jaccard >= threshold).
 
@@ -64,11 +113,20 @@ def ngram_jaccard_pairs(
     per-doc gram counts.  ``max_df`` drops grams present in more docs
     (stop-grams) before the self-join; exactness is preserved for any
     pair whose intersection isn't entirely stop-grams — at the default
-    threshold real near-dups always share rare grams.
+    threshold real near-dups always share rare grams.  The default cap
+    is ``auto_max_df(n_docs) = max(1000, 2·⌈√n_docs⌉)``, which bounds
+    the self-join to ≤ 2√n_docs · postings row-pairs (subquadratic at
+    any corpus size); pass an int to pin it, or None to disable capping
+    (exact, quadratic worst case).  Measure the recall envelope of a
+    given cap with :func:`ngram_max_df_envelope` — a pair is missed iff
+    every shared gram is above the cap (test-pinned in
+    tests/test_pipeline.py::test_ngram_max_df_envelope).
     """
     grams = word_ngrams(docs, n=n).cache()
     sizes = grams.groupBy("doc_id").agg(F.count("*").alias("sz"))
     idx = grams
+    if max_df == "auto":
+        max_df = auto_max_df(docs.count())
     if max_df is not None:
         df_counts = grams.groupBy("gram").agg(F.count("*").alias("df"))
         idx = grams.join(df_counts.filter(F.col("df") <= max_df), "gram")
@@ -165,31 +223,48 @@ def minhash_lsh_pairs(
     shingle_n: int = 3,
     threshold: float = 0.8,
     seed: int = 42,
+    verify: str = "join_back",
 ) -> DataFrame:
     """LSH candidate generation + exact Jaccard verification.
 
     rows-per-band r = n_hashes/bands; a pair collides in a band iff all
     r minhashes agree, so candidate recall follows 1-(1-s^r)^b.  The
     band key is a hash of the r-slice — candidates come from an
-    equi-join on (band, key), never a cross join.  Verification joins
-    candidates back to exact gram sets (distinct-gram Jaccard).
+    equi-join on (band, key), never a cross join.
+
+    ``verify`` picks the exact-Jaccard verification strategy (both
+    produce the identical pair set; threshold > 0 so zero-intersection
+    candidates are droppable either way):
+
+    * ``"join_back"`` (default): candidates join back to the gram
+      table on (doc, gram); intersection = matching-gram count per
+      pair, sizes from per-doc distinct-gram counts.  Shuffle is
+      O(candidate-pair shared grams) — per-doc gram SETS never
+      materialize as array rows, so megabyte documents cost rows, not
+      row WIDTH.  The 100 TB-safe path.
+    * ``"gram_sets"``: per-doc ``collect_set(gram)`` arrays carried to
+      every candidate (the round-3 formulation).  One fewer shuffle at
+      sf0.1 but each verification row carries two whole documents'
+      gram sets — measured 2.9 s vs 3.3 s at sf0.1 (see BASELINE.md
+      round-5 notes), kept for small-doc corpora.
     """
+    if verify not in ("join_back", "gram_sets"):
+        raise ValueError(f"unknown verify mode: {verify!r}")
     r = n_hashes // bands
     # ONE pass over the gram table computes both the signature mins and
-    # the exact-verification gram sets (the gram explosion dominates the
+    # the exact-verification side (the gram explosion dominates the
     # pipeline cost — scanning it twice would double it)
-    grams = gram_base_hashes(docs, n=shingle_n)
-    per_doc = (
-        grams.groupBy("doc_id")
-        .agg(
-            F.collect_set("gram").alias("gs"),
-            *[
-                F.min(_family_hash(F.col("_b"), i, seed)).alias(f"_h{i}")
-                for i in range(n_hashes)
-            ],
-        )
-        .cache()
-    )
+    grams = gram_base_hashes(docs, n=shingle_n).cache()
+    agg_cols = [
+        F.min(_family_hash(F.col("_b"), i, seed)).alias(f"_h{i}")
+        for i in range(n_hashes)
+    ]
+    if verify == "gram_sets":
+        agg_cols = [F.collect_set("gram").alias("gs")] + agg_cols
+    else:
+        # distinct-gram count per doc rides the same single pass
+        agg_cols = [F.count("*").alias("sz")] + agg_cols
+    per_doc = grams.groupBy("doc_id").agg(*agg_cols).cache()
     sigs = per_doc.select(
         "doc_id",
         F.array(*[F.col(f"_h{i}") for i in range(n_hashes)]).alias("sig"),
@@ -214,14 +289,41 @@ def minhash_lsh_pairs(
         .select("a", "b")
         .distinct()
     )
-    ga = per_doc.select(F.col("doc_id").alias("a"), F.col("gs").alias("gsa"))
-    gb = per_doc.select(F.col("doc_id").alias("b"), F.col("gs").alias("gsb"))
-    inter = F.size(F.array_intersect("gsa", "gsb")).cast("double")
-    union = (F.size("gsa") + F.size("gsb") - inter).cast("double")
-    return (
+    if verify == "gram_sets":
+        ga = per_doc.select(F.col("doc_id").alias("a"), F.col("gs").alias("gsa"))
+        gb = per_doc.select(F.col("doc_id").alias("b"), F.col("gs").alias("gsb"))
+        inter = F.size(F.array_intersect("gsa", "gsb")).cast("double")
+        union = (F.size("gsa") + F.size("gsb") - inter).cast("double")
+        return (
+            cand.join(ga, "a")
+            .join(gb, "b")
+            .select("a", "b", F.round(inter / union, 6).alias("jaccard"))
+            .filter(F.col("jaccard") >= threshold)
+        )
+    # join_back: |A∩B| = count of grams the pair shares, computed by
+    # walking each candidate's grams once — never materializing a set
+    ga = grams.select(F.col("doc_id").alias("a"), "gram")
+    gb = grams.select(F.col("doc_id").alias("b"), "gram")
+    inter_counts = (
         cand.join(ga, "a")
-        .join(gb, "b")
-        .select("a", "b", F.round(inter / union, 6).alias("jaccard"))
+        .join(gb, ["b", "gram"])
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = per_doc.select(F.col("doc_id").alias("a"), F.col("sz").alias("sza"))
+    sb = per_doc.select(F.col("doc_id").alias("b"), F.col("sz").alias("szb"))
+    return (
+        inter_counts.join(sa, "a")
+        .join(sb, "b")
+        .select(
+            "a",
+            "b",
+            F.round(
+                F.col("inter")
+                / (F.col("sza") + F.col("szb") - F.col("inter")).cast("double"),
+                6,
+            ).alias("jaccard"),
+        )
         .filter(F.col("jaccard") >= threshold)
     )
 

@@ -378,3 +378,49 @@ def test_load_imbalance(spark):
         spark, [(s, s + 1, 1.0) for s in range(64)], n_partitions=8
     )
     assert R.load_imbalance(balanced) < R.load_imbalance(skewed) + 1e-9
+
+
+def test_should_salt_trigger():
+    from combblas_spark.operators.spmv import should_salt
+
+    # hub holding 20% of m across 32 partitions: 0.2 > 4/32 -> salt
+    assert should_salt(200_000, 1_000_000, 32)
+    # uniform in-degrees: max ~ m/n far below 4x the partition share
+    assert not should_salt(40, 1_000_000, 32)
+    # exactly at the boundary: strict inequality, no salt
+    assert not should_salt(125_000, 1_000_000, 32, factor=4.0)
+    assert should_salt(125_001, 1_000_000, 32, factor=4.0)
+    # degenerate inputs never salt
+    assert not should_salt(10, 0, 32)
+    assert not should_salt(10, 100, 1)
+
+
+def test_spmv_auto_salt_identical(spark):
+    """Hub graph: the salted and plain SpMV paths agree exactly, the
+    degree-stats pass measures the hub, and auto_salt routes by the
+    trigger (reference ReduceAssign, CC.h:579-737)."""
+    from combblas_spark.operators.spmv import in_degree_skew
+
+    hub = 0
+    edges = [(s, hub, 1.0) for s in range(1, 41)]          # 40-in-degree hub
+    edges += [(s, s + 100, 1.0) for s in range(1, 41)]     # 40 singleton dsts
+    g = Graph(
+        edges=spark.createDataFrame(edges, "src long, dst long, w double"),
+        n_partitions=8,
+    )
+    mx, m = in_degree_skew(g)
+    assert (mx, m) == (40, 80)
+    vec = spark.createDataFrame(
+        [(v, float(v)) for v in range(1, 41)], "v long, val double"
+    )
+    plain = {r["v"]: r["val"] for r in spmv(g, vec).collect()}
+    salted = {r["v"]: r["val"] for r in spmv_salted(g, vec).collect()}
+    assert plain == salted
+    # boundary stats (40 == 4 * 80/8) keep the plain path; a heavier
+    # hub trips the salted route — results identical either way
+    for stats in [(mx, m), (mx + 1, m)]:
+        auto = {
+            r["v"]: r["val"]
+            for r in spmv(g, vec, auto_salt=True, skew_stats=stats).collect()
+        }
+        assert auto == plain

@@ -259,3 +259,62 @@ def test_cosine_near_pairs_exact_and_lsh(spark, emb):
     assert approx <= set(want) or not want
     if want:
         assert len(approx) / len(want) >= 0.6
+
+
+def test_minhash_verify_modes_agree(spark, docs):
+    """join_back (candidate ⋈ gram-table counts) and gram_sets
+    (collect_set arrays) verification must produce the identical exact
+    pair set — they differ only in shuffle shape."""
+    jb = {
+        (r["a"], r["b"]): r["jaccard"]
+        for r in minhash_lsh_pairs(docs, threshold=0.5, verify="join_back").collect()
+    }
+    gs = {
+        (r["a"], r["b"]): r["jaccard"]
+        for r in minhash_lsh_pairs(docs, threshold=0.5, verify="gram_sets").collect()
+    }
+    assert jb == gs and jb  # identical and non-vacuous
+    with pytest.raises(ValueError):
+        minhash_lsh_pairs(docs, verify="nope")
+
+
+def test_auto_max_df_formula(spark):
+    from combblas_spark.pipeline.dedup import auto_max_df
+
+    assert auto_max_df(0) == 1_000
+    assert auto_max_df(10) == 1_000          # floor dominates small corpora
+    assert auto_max_df(1_000_000) == 2_000   # 2 * sqrt(1e6)
+    assert auto_max_df(10**12) == 2_000_000  # grows as 2*sqrt(n)
+    assert auto_max_df(10**12) < 10**12      # always subquadratic join bound
+
+
+def test_ngram_max_df_envelope(spark):
+    """Constructed all-stop-gram near-dup pair: the capped self-join
+    MISSES it (documented exactness envelope), the envelope row reports
+    the dropped posting mass, and the uncapped run finds it."""
+    from combblas_spark.pipeline.dedup import ngram_max_df_envelope
+
+    phrase = "alpha beta gamma delta epsilon"
+    rows = [(i, phrase) for i in range(6)]  # every gram df=6
+    rows += [(10, "unique text one two three xyzzy"),
+             (11, "another unique body four five six")]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    # cap=3 < df=6: all grams of the identical docs are stop-grams
+    capped = ngram_jaccard_pairs(d, n=3, threshold=0.9, max_df=3).collect()
+    assert capped == []  # the documented miss
+    uncapped = {
+        (r["a"], r["b"]) for r in ngram_jaccard_pairs(d, n=3, threshold=0.9, max_df=None).collect()
+    }
+    assert (0, 1) in uncapped and len(uncapped) == 15  # C(6,2) identical docs
+    env = ngram_max_df_envelope(d, n=3, max_df=3).collect()[0]
+    assert env["max_df"] == 3
+    assert env["n_stop_grams"] == 3          # the 3 grams of the shared phrase
+    assert env["dropped_postings"] == 18     # 3 grams x df 6
+    assert env["total_postings"] == 18 + 8   # plus 4 grams per unique doc
+    assert 0 < env["dropped_mass"] < 1
+    # auto mode resolves the cap from corpus size (floor: 1000 > any df
+    # here, so nothing drops and the pair set is exact)
+    auto_pairs = {
+        (r["a"], r["b"]) for r in ngram_jaccard_pairs(d, n=3, threshold=0.9).collect()
+    }
+    assert auto_pairs == uncapped
