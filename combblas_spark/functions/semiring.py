@@ -45,6 +45,13 @@ class Semiring:
     zero: object = 0.0
     #: commutative & idempotent adds (min/max) can skip exact dedup work
     idempotent: bool = False
+    #: True when ``add`` supports Spark's map-side partial aggregation
+    #: (sum/min/max/count do).  Partial-capable adds are reduce-skew-
+    #: immune — each map partition pre-combines a hot key to one row —
+    #: so the salted-aggregation path never helps them (measured,
+    #: BENCH_SKEW.json).  Set False for gather-style adds
+    #: (collect_list-like), which ship every row to the reduce side.
+    partial_agg: bool = True
 
     def contribution(self, w: Column, val: Column) -> Column:
         return self.mult(w, val)

@@ -90,19 +90,23 @@ def spmv(
     (broadcast when ``vec_nnz`` is known-small).
 
     auto_salt: route through :func:`spmv_salted` when the in-degree
-    stats say the reduce is hub-skewed (see :func:`should_salt`).  Pass
+    stats say the reduce is hub-skewed (see :func:`should_salt`) AND
+    the semiring's add cannot partially aggregate.  Both conditions
+    are load-bearing: for partial-capable adds (sum/min/max — every
+    shipped semiring) map-side combine already collapses a hot key to
+    ~one row per map partition, and the measured salted path is a pure
+    regression there (BENCH_SKEW.json: 0.48-1.06x across runs, never a
+    win); only gather-style adds (``Semiring.partial_agg=False``) ship
+    per-edge rows to the reduce side and need the salt.  Pass
     precomputed ``skew_stats=(max_in_degree, m)`` for iterative kernels
     (degrees are static — compute once via :func:`in_degree_skew`);
-    without it the stats cost one extra aggregate pass here.  Measured
-    evidence: BASELINE.md round-5 skew table (hub graph with one dst
-    holding ~2% of m).
+    without it the stats cost one extra aggregate pass here.
     """
-    if auto_salt:
-        if skew_stats is None:
-            skew_stats = in_degree_skew(g)
-        parts = n_partitions or g.n_partitions
-        if should_salt(skew_stats[0], skew_stats[1], parts):
-            return spmv_salted(g, vec, semiring=semiring, val_col=val_col)
+    if auto_salt and _route_salted(
+        semiring, skew_stats if skew_stats is not None else in_degree_skew(g),
+        n_partitions or g.n_partitions,
+    ):
+        return spmv_salted(g, vec, semiring=semiring, val_col=val_col)
     if broadcast_vector is None:
         broadcast_vector = vec_nnz is not None and vec_nnz < BROADCAST_NNZ_CUTOFF
     # beyond broadcast reach: shuffled-hash join of the vector side
@@ -114,6 +118,17 @@ def spmv(
         g.edges.join(x, g.edges[SRC] == x["v"], "inner")
         .groupBy(F.col(DST).alias("v"))
         .agg(semiring.aggregate(contrib).alias(val_col))
+    )
+
+
+def _route_salted(
+    semiring: Semiring, skew_stats: tuple[int, int], n_partitions: int
+) -> bool:
+    """The auto_salt routing decision, factored pure for testability:
+    salt only a hub-skewed reduce whose add CANNOT partially aggregate
+    (partial-capable adds are skew-immune — measured, BENCH_SKEW.json)."""
+    return not semiring.partial_agg and should_salt(
+        skew_stats[0], skew_stats[1], n_partitions
     )
 
 
@@ -169,6 +184,16 @@ def spmv_salted(
     re-aggregates — the reference's adaptive-reduce ReduceAssign
     (CC.h:579-737) in declarative form.  Requires ``semiring.add`` to be
     associative (all shipped ones are).
+
+    Measured nuance (BENCH_SKEW.json, hub share 24% at local[32]):
+    for the shipped ALGEBRAIC semirings Spark's map-side partial
+    aggregation already combines a hot dst's rows within each map
+    partition — only ~n_partitions rows per hot key ever shuffle — so
+    this operator's extra exchange made it 0.76x the plain path there.
+    It earns its keep when the add cannot partially aggregate (e.g.
+    collect_list-style gather semirings) — for the algebraic ones,
+    prefer the plain path; the real skew hazard is the JOIN side, see
+    :func:`spmv_salted_join`.
     """
     contrib = semiring.contribution(F.col(W), F.col(val_col))
     salted = (
@@ -180,6 +205,72 @@ def spmv_salted(
     return salted.groupBy("v").agg(
         semiring.aggregate(F.col(val_col)).alias(val_col)
     )
+
+
+def spmv_salted_join(
+    g: Graph,
+    vec: DataFrame,
+    semiring: Semiring = PLUS_TIMES,
+    val_col: str = "val",
+    n_salts: int = 8,
+) -> DataFrame:
+    """Skew-hardened SpMV for a hub SOURCE beyond broadcast reach.
+
+    The vulnerable regime (measured, BENCH_SKEW.json): the vector is
+    too big to broadcast, so the superstep is a co-partitioned join on
+    ``hash(src)`` — and a hub src puts its entire edge block in ONE
+    partition, a straggler no repartitioning can split because the hash
+    key is the skewed value itself.  (The broadcast path is immune —
+    edges stay partitioned by dst; and agg-side skew is neutralized by
+    map-side combine, see :func:`spmv_salted`.)
+
+    Fix = the classic salted join, kept co-partitionable: edges gain a
+    deterministic salt from ``xxhash64(dst)`` so a hub src's rows spread
+    over ``n_salts`` join shards, and the vector side is replicated
+    ``n_salts`` ways (vector ≪ edges, so the duplication is the cheap
+    side — same asymmetry the broadcast path exploits).  Join on
+    ``(src, salt)``, then the usual groupBy(dst) aggregate.
+
+    On an iterative kernel DO NOT pay the edge re-exchange per call:
+    pre-salt once with :func:`salt_edges` (partition by (src, _salt),
+    cache) and pass the salted graph here — a ``_salt`` column already
+    present is reused as-is.  BENCH_SKEW.json records the point: the
+    salted layout bounds the largest cached partition near m/P even
+    with a hub src (the plain hash(src) layout concentrates the hub's
+    entire block — at corpus scale, a whole-executor-memory partition).
+    """
+    e = g.edges
+    if "_salt" not in e.columns:
+        e = e.withColumn(
+            "_salt", F.pmod(F.xxhash64(F.col(DST)), F.lit(n_salts)).cast("int")
+        )
+    x = vec.select(
+        "v",
+        F.col(val_col),
+        F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1))).alias("_salt"),
+    ).hint("shuffle_hash")
+    contrib = semiring.contribution(F.col(W), x[val_col])
+    return (
+        e.join(x, (e[SRC] == x["v"]) & (e["_salt"] == x["_salt"]), "inner")
+        .groupBy(F.col(DST).alias("v"))
+        .agg(semiring.aggregate(contrib).alias(val_col))
+    )
+
+
+def salt_edges(g: Graph, n_salts: int = 8) -> Graph:
+    """One-time salted edge layout for :func:`spmv_salted_join`.
+
+    Adds ``_salt = xxhash64(dst) % n_salts`` and partitions by
+    ``(src, _salt)`` — a hub src's block spreads over ``n_salts``
+    partitions instead of one.  Cache the result; every superstep then
+    joins co-partitioned with the replicated vector, no edge exchange.
+    """
+    from dataclasses import replace
+
+    salted = g.edges.withColumn(
+        "_salt", F.pmod(F.xxhash64(F.col(DST)), F.lit(n_salts)).cast("int")
+    ).repartition(g.n_partitions, SRC, "_salt")
+    return replace(g, edges=salted)
 
 
 def dim_apply(

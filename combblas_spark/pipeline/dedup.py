@@ -243,10 +243,15 @@ def minhash_lsh_pairs(
       materialize as array rows, so megabyte documents cost rows, not
       row WIDTH.  The 100 TB-safe path.
     * ``"gram_sets"``: per-doc ``collect_set(gram)`` arrays carried to
-      every candidate (the round-3 formulation).  One fewer shuffle at
-      sf0.1 but each verification row carries two whole documents'
-      gram sets — measured 2.9 s vs 3.3 s at sf0.1 (see BASELINE.md
-      round-5 notes), kept for small-doc corpora.
+      every candidate (the round-3 formulation).  One fewer shuffle,
+      but each verification row carries two whole documents' gram sets.
+
+    Measured at sf0.1 (local[32], 3 warm alternating reps): join_back
+    median 3.84 s vs gram_sets 3.73 s — a wash at this doc size, so the
+    default follows the asymptotics: gram_sets rows grow with document
+    LENGTH (two full gram arrays per candidate row), join_back rows
+    only with candidate-pair count; at megabyte web documents the array
+    rows are the pipeline's widest shuffle, the join-back rows are not.
     """
     if verify not in ("join_back", "gram_sets"):
         raise ValueError(f"unknown verify mode: {verify!r}")

@@ -424,3 +424,40 @@ def test_spmv_auto_salt_identical(spark):
             for r in spmv(g, vec, auto_salt=True, skew_stats=stats).collect()
         }
         assert auto == plain
+
+
+def test_route_salted_partial_agg_gate():
+    """auto_salt only salts a skewed reduce whose add can't partially
+    aggregate — algebraic adds are map-side-combine-immune (measured,
+    BENCH_SKEW.json)."""
+    from dataclasses import replace as dc_replace
+
+    from combblas_spark.operators.spmv import _route_salted
+
+    skewed = (200_000, 1_000_000)  # 20% hub over 32 partitions
+    assert not _route_salted(PLUS_TIMES, skewed, 32)  # partial-capable: never
+    gather = dc_replace(PLUS_TIMES, name="gather", partial_agg=False)
+    assert _route_salted(gather, skewed, 32)          # gather add + skew: salt
+    assert not _route_salted(gather, (40, 1_000_000), 32)  # no skew: plain
+
+
+def test_spmv_salted_join_identical(spark):
+    """The salted co-partitionable join (hub-src regime) matches the
+    plain path exactly, pre-salted or not."""
+    from combblas_spark.operators.spmv import salt_edges, spmv_salted_join
+
+    hub = 0
+    edges = [(hub, d, float(d)) for d in range(1, 41)]   # hub src fan-out
+    edges += [(s, s + 100, 1.0) for s in range(1, 41)]
+    g = Graph(
+        edges=spark.createDataFrame(edges, "src long, dst long, w double"),
+        n_partitions=8,
+    )
+    vec = spark.createDataFrame(
+        [(v, float(v + 1)) for v in range(0, 45)], "v long, val double"
+    )
+    plain = {r["v"]: r["val"] for r in spmv(g, vec, broadcast_vector=False).collect()}
+    fresh = {r["v"]: r["val"] for r in spmv_salted_join(g, vec, n_salts=4).collect()}
+    pre = salt_edges(g, n_salts=4)
+    cached = {r["v"]: r["val"] for r in spmv_salted_join(pre, vec, n_salts=4).collect()}
+    assert plain == fresh == cached and plain
