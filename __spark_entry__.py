@@ -203,6 +203,75 @@ f{k} AS MATERIALIZED (SELECT v FROM n{k})"""
     return "\n".join(parts)
 
 
+def _bfs_child_sql(levels: int, src: int) -> str:
+    """single_child_bfs oracle: the bfs unroll plus the per-level
+    fringe.Uniq representative (min child per parent,
+    SingleChildBFS.cpp:280-281)."""
+    parts = [
+        "WITH " + EDGES_CTE.strip() + ",",
+        SYM_EDGES_CTE.strip() + ",",
+        f"""p0 AS MATERIALIZED (
+  SELECT {src} AS v, {src} AS parent, 0 AS level, TRUE AS single_child),
+f0 AS MATERIALIZED (SELECT v FROM p0)""",
+    ]
+    for k in range(1, levels + 1):
+        parts.append(
+            f""",
+c{k} AS MATERIALIZED (
+  SELECT e.dst AS v, max(e.src) AS parent
+  FROM sedges e JOIN f{k-1} f ON e.src = f.v
+  GROUP BY e.dst
+),
+n{k} AS MATERIALIZED (
+  SELECT c.v, c.parent, {k} AS level
+  FROM c{k} c LEFT JOIN p{k-1} p ON c.v = p.v WHERE p.v IS NULL
+),
+s{k} AS MATERIALIZED (
+  SELECT v, parent, level,
+         v = min(v) OVER (PARTITION BY parent) AS single_child
+  FROM n{k}
+),
+p{k} AS MATERIALIZED (SELECT * FROM p{k-1} UNION ALL SELECT * FROM s{k}),
+f{k} AS MATERIALIZED (SELECT v FROM n{k})"""
+        )
+    parts.append(f"\nSELECT v, parent, level, single_child FROM p{levels}")
+    return "\n".join(parts)
+
+
+def _bfs_rand_sql(levels: int, src: int) -> str:
+    """random_parent_bfs oracle: the bfs unroll with min-priority parent
+    selection (SelectRandSRing, RandomParentBFS.cpp:92-117); the seeded
+    XXH64 priorities come from the pinned fixture (pure-Python/numpy
+    chain — not SQL-expressible), the BFS itself is re-derived in SQL."""
+    pri = _fixture("bfs_rand_priorities.parquet")
+    parts = [
+        "WITH " + EDGES_CTE.strip() + ",",
+        SYM_EDGES_CTE.strip() + ",",
+        f"""pri AS MATERIALIZED (
+  SELECT src, dst, level, pri FROM read_parquet('{pri}')),
+p0 AS MATERIALIZED (SELECT {src} AS v, {src} AS parent, 0 AS level),
+f0 AS MATERIALIZED (SELECT v FROM p0)""",
+    ]
+    for k in range(1, levels + 1):
+        parts.append(
+            f""",
+c{k} AS MATERIALIZED (
+  SELECT e.dst AS v, arg_min(e.src, x.pri) AS parent
+  FROM sedges e JOIN f{k-1} f ON e.src = f.v
+  JOIN pri x ON x.src = e.src AND x.dst = e.dst AND x.level = {k}
+  GROUP BY e.dst
+),
+n{k} AS MATERIALIZED (
+  SELECT c.v, c.parent, {k} AS level
+  FROM c{k} c LEFT JOIN p{k-1} p ON c.v = p.v WHERE p.v IS NULL
+),
+p{k} AS MATERIALIZED (SELECT * FROM p{k-1} UNION ALL SELECT * FROM n{k}),
+f{k} AS MATERIALIZED (SELECT v FROM n{k})"""
+        )
+    parts.append(f"\nSELECT v, parent, level FROM p{levels}")
+    return "\n".join(parts)
+
+
 def _sssp_sql(rounds: int, src: int) -> str:
     parts = [
         "WITH " + EDGES_CTE.strip() + ",",
@@ -1331,6 +1400,29 @@ def q_dobfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bfs_rand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-parent BFS (RandomParentBFS.cpp:92-117): level sets match
+    bfs4 exactly; the parent choice is the min seeded-XXH64 priority
+    among eligible parents, gated against the pinned priority fixture."""
+    from combblas_spark.algos.bfs import random_parent_bfs
+
+    return random_parent_bfs(
+        spark, _graph(spark, sf_dir), source=BFS_SRC, seed=42,
+        max_iter=BFS_LEVELS,
+    )
+
+
+def q_bfs_child(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-child BFS (SingleChildBFS.cpp:280-281): bfs4's parent
+    assignment plus the one-representative-child-per-parent frontier
+    flag (fringe.Uniq analogue)."""
+    from combblas_spark.algos.bfs import single_child_bfs
+
+    return single_child_bfs(
+        spark, _graph(spark, sf_dir), source=BFS_SRC, max_iter=BFS_LEVELS
+    )
+
+
 def q_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
     from combblas_spark.algos.sssp import sssp_rounds
 
@@ -1816,6 +1908,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats": q_text_stats,
         "bfs4": q_bfs,
         "dobfs4": q_dobfs,
+        "bfs_rand4": q_bfs_rand,
+        "bfs_child4": q_bfs_child,
         "sssp4": q_sssp,
         "spgemm_rows": q_spgemm,
         "masked_colsums": q_masked_colsums,
@@ -1862,6 +1956,7 @@ def oracle_sql() -> dict[str, str]:
         "text_stats": TEXT_STATS_SQL,
         "bfs4": _bfs_sql(BFS_LEVELS, BFS_SRC),
         "dobfs4": _bfs_sql(BFS_LEVELS, BFS_SRC),
+        "bfs_child4": _bfs_child_sql(BFS_LEVELS, BFS_SRC),
         "sssp4": _sssp_sql(SSSP_ROUNDS, BFS_SRC),
         "spgemm_rows": SPGEMM_SQL,
         "masked_colsums": MASKED_COLSUMS_SQL,
@@ -1889,6 +1984,7 @@ def oracle_sql() -> dict[str, str]:
         # pinned-fixture oracles (dist/oracle_fixtures, generated by the
         # independent pure-Python references in make_oracle_fixtures.py)
         "mis": _mis_sql(MIS_ROUNDS),
+        "bfs_rand4": _bfs_rand_sql(BFS_LEVELS, BFS_SRC),
         "minhash_lsh": _minhash_lsh_sql(),
         "simhash64": _simhash_sql(),
         "simhash_pairs": _simhash_pairs_sql(),

@@ -19,6 +19,10 @@ whenever /root/testdata or the generators change):
 * ``mis_priorities.parquet`` (v, pri) — seeded vertex priorities
   (pure-Python xxhash64 chain) for the sf0.01 link-graph vertex set;
   oracles q_mis's Luby rounds.
+* ``bfs_rand_priorities.parquet`` (src, dst, level, pri) — seeded
+  per-(edge, level) parent priorities (chained XXH64) over the
+  symmetrized sf0.01 link graph; oracles q_bfs_rand's SelectRandSRing
+  parent selection.
 * ``minhash_sigs.parquet`` (doc_id, sig: list<int64>) — 64-hash
   minwise signatures of the sf0.01 documents (pure-Python/numpy XXH64);
   oracles q_minhash_lsh's banding + verification.
@@ -82,6 +86,31 @@ def _check_vec():
         for v, g in zip(sample, got):
             want = xxh64(struct.pack("<q", int(v)), seed)
             assert int(g) == want, (v, seed)
+    # per-row-seed variant against the full chained scalar reference
+    from combblas_spark.functions.xxh import spark_xxhash64_longs
+
+    a = rng.integers(-(1 << 62), 1 << 62, size=32, dtype=np.int64)
+    b = rng.integers(-(1 << 62), 1 << 62, size=32, dtype=np.int64)
+    chained = xxh64_u64_vec_seeds(b, xxh64_u64_vec(a, 42))
+    for x, y, g in zip(a, b, chained):
+        assert _signed(np.array([g]))[0] == spark_xxhash64_longs(int(x), int(y))
+
+
+def xxh64_u64_vec_seeds(vals: np.ndarray, seeds: np.ndarray) -> np.ndarray:
+    """xxh64_u64_vec with a PER-ROW seed vector — the chained-hash form
+    Spark's multi-column xxhash64 uses (each link's output seeds the
+    next link).  Verified against the scalar reference in _check_vec."""
+    x = vals.astype(np.uint64)
+    h = (seeds.astype(np.uint64) + _P5 + np.uint64(8))
+    k1 = _rotl(x * _P2, 31) * _P1
+    h = h ^ k1
+    h = _rotl(h, 27) * _P1 + _P4
+    h ^= h >> np.uint64(33)
+    h *= _P2
+    h ^= h >> np.uint64(29)
+    h *= _P3
+    h ^= h >> np.uint64(32)
+    return h
 
 
 def _signed(u: np.ndarray) -> np.ndarray:
@@ -153,6 +182,60 @@ def make_mis_priorities(seed: int = 42) -> None:
         os.path.join(OUT, "mis_priorities.parquet"),
     )
     print(f"mis_priorities: {len(vs)} vertices from {SF_DIR}")
+
+
+def make_bfs_rand_priorities(levels: int = 4, seed: int = 42) -> None:
+    """(src, dst, level, pri) for the symmetrized sf0.01 link graph,
+    levels 1..``levels`` — pri = chained XXH64(src, dst, level, seed),
+    the SelectRandSRing random-parent priority (algos/bfs.py:
+    random_parent_bfs), computed here from the pure-Python/numpy
+    reference chain so the DuckDB unroll cross-validates the JVM
+    F.xxhash64."""
+    import duckdb
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"""
+        WITH edges AS (
+          SELECT o.o_custkey AS src, l.l_suppkey + 1000000 AS dst
+          FROM read_parquet('{SF_DIR}/orders.parquet') o
+          JOIN read_parquet('{SF_DIR}/lineitem.parquet') l
+            ON o.o_orderkey = l.l_orderkey
+          GROUP BY 1, 2
+        )
+        SELECT DISTINCT src, dst FROM (
+          SELECT src, dst FROM edges
+          UNION ALL SELECT dst AS src, src AS dst FROM edges
+        ) ORDER BY src, dst
+        """
+    ).fetchnumpy()
+    src = rows["src"].astype(np.int64)
+    dst = rows["dst"].astype(np.int64)
+    n = len(src)
+    cols = {"src": [], "dst": [], "level": [], "pri": []}
+    for k in range(1, levels + 1):
+        lvl = np.full(n, k, dtype=np.int64)
+        sd = np.full(n, seed, dtype=np.int64)
+        h = xxh64_u64_vec(src, 42)          # link 1: src (initial seed 42)
+        h = xxh64_u64_vec_seeds(dst, h)     # link 2: dst
+        h = xxh64_u64_vec_seeds(lvl, h)     # link 3: level
+        h = xxh64_u64_vec_seeds(sd, h)      # link 4: the BFS seed value
+        cols["src"].append(src)
+        cols["dst"].append(dst)
+        cols["level"].append(np.full(n, k, dtype=np.int32))
+        cols["pri"].append(_signed(h))
+    pq.write_table(
+        pa.table(
+            {
+                "src": pa.array(np.concatenate(cols["src"]), pa.int64()),
+                "dst": pa.array(np.concatenate(cols["dst"]), pa.int64()),
+                "level": pa.array(np.concatenate(cols["level"]), pa.int32()),
+                "pri": pa.array(np.concatenate(cols["pri"]), pa.int64()),
+            }
+        ),
+        os.path.join(OUT, "bfs_rand_priorities.parquet"),
+    )
+    print(f"bfs_rand_priorities: {n} sym edges x {levels} levels from {SF_DIR}")
 
 
 def _load_docs() -> list[tuple[int, str]]:
@@ -351,6 +434,7 @@ if __name__ == "__main__":
     _check_vec()
     make_webgraph_edges()
     make_mis_priorities()
+    make_bfs_rand_priorities()
     make_minhash_sigs()
     make_simhash_sigs()
     make_media_features()
