@@ -33,12 +33,16 @@ def build_spark(cpus: int, shuffle: int):
     from combblas_spark.session import get_spark
 
     extra = {}
-    # superseded per-iteration broadcast blocks (one contrib relation per
-    # PageRank superstep) are reaped by ContextCleaner only after a JVM
-    # GC, which a mostly-empty 48g heap may not run for the whole bench —
-    # run the cleaner's periodic GC often, and make explicit GC a
-    # concurrent cycle instead of a stop-the-world pause
-    extra["spark.cleaner.periodicGC.interval"] = "45s"
+    # Iteration checkpoints are freed explicitly inside the loops
+    # (algos/pagerank._unpersist_rdds), so the ContextCleaner's periodic
+    # GC only reaps superseded broadcast blocks (~100-150 MB per
+    # superstep at scale 22) — deferrable for a whole bench run.  A 45s
+    # interval was measured to inject concurrent-GC cycles into every
+    # 2-3 iterations (bimodal 13s/22s supersteps at pinned local[4]);
+    # keep Spark's 30min default and make any explicit GC concurrent.
+    extra["spark.cleaner.periodicGC.interval"] = os.environ.get(
+        "BENCH_PERIODIC_GC", "30min"
+    )
     extra["spark.driver.extraJavaOptions"] = "-XX:+ExplicitGCInvokesConcurrent"
     # memory-backed shuffle dirs remove local-disk contention between
     # concurrent shuffle writers (bench-only; a real cluster has

@@ -38,6 +38,12 @@ from pyspark.sql import functions as F
 
 from ..graph import SRC, DST, Graph
 
+#: below this vertex count the rank vector is narrowed to fewer
+#: partitions (driver-job latency dominates); at or above it the vector
+#: keeps the superstep's hash(v, n_partitions) layout so iterations are
+#: exchange-free (see the partition-width comment in pagerank())
+NARROW_VEC_ROWS = 1_000_000
+
 
 def _persistent_rdd_ids(spark: SparkSession) -> set[int]:
     """Ids of all RDDs currently persisted in the block manager."""
@@ -127,29 +133,45 @@ def pagerank(
         .cache()
     )
     m = edges.count()
-    # Vertex-vector tables are O(n) ≪ O(m): fanning them across the
-    # edge table's partition count wastes task-scheduling time in every
-    # per-iteration driver job (broadcast build scan, delta aggregate,
-    # checkpoint) — on the broadcast path the vector's partitioning
-    # carries no co-location requirement, so keep it narrow.  The
-    # non-broadcast (shuffled-hash) path NEEDS hash(v, n_partitions) to
-    # line up with the edge table, so it keeps the full count.
-    vec_parts = (
-        max(8, g.n_partitions // 4)
-        if broadcast_contrib in (None, True)
-        else g.n_partitions
-    )
     # vd: (v, deg) with deg=0 for dangling vertices — one union+groupBy
     # pass over the cached edges (out-degree and vertex universe fused).
+    # Pinned hash(v, n_partitions): the groupBy(dst) superstep output
+    # and the per-iteration ranks⋈sums join then share ONE layout, so a
+    # full iteration moves ZERO vector rows between partitionings.
     vd = (
         edges.select(F.col(SRC).alias("v"), F.lit(1).alias("_c"))
         .unionByName(edges.select(F.col(DST).alias("v"), F.lit(0).alias("_c")))
         .groupBy("v")
         .agg(F.sum("_c").alias("deg"))
-        .repartition(vec_parts, "v")
+        .repartition(g.n_partitions, "v")
         .cache()
     )
     n = vd.count()
+    # Vertex-vector partition width is a size trade-off, now decided on
+    # the MEASURED n rather than guessed up front:
+    # * SMALL vector (n < NARROW_VEC_ROWS, broadcast path): the cost of
+    #   per-iteration driver jobs (broadcast-build scan, delta
+    #   aggregate, checkpoint) is task-scheduling latency — narrow the
+    #   vector to fewer partitions (vec_parts) and pay one tiny
+    #   repartition per iteration.
+    # * BIG vector: the narrowing itself becomes the overhead — at
+    #   n=4.2M (scale-22 bench) it cost TWO O(n) exchanges per
+    #   iteration (ranks⋈sums co-partition mismatch + the narrowing
+    #   repartition), measured as most of the gap between the 0.87
+    #   pure-superstep and ~0.7 full-loop scaling efficiency.  Keep the
+    #   vector on the superstep's own hash(v, n_partitions) layout and
+    #   the whole iteration is exchange-free.
+    # The non-broadcast (shuffled-hash) path always needs the full
+    # hash(v, n_partitions) layout to line up with the edge table.
+    vec_parts = g.n_partitions
+    if broadcast_contrib in (None, True) and n < NARROW_VEC_ROWS:
+        narrow = max(8, g.n_partitions // 4)
+        if narrow < g.n_partitions:
+            vec_parts = narrow
+            old_vd = vd
+            vd = old_vd.repartition(vec_parts, "v").cache()
+            vd.count()
+            old_vd.unpersist()
     if broadcast_contrib is None:
         # SpMSpV-style switch (reference cutoff CC.h:1256): broadcast the
         # vertex vector while it fits; beyond that, co-partitioned shuffle
@@ -167,11 +189,13 @@ def pagerank(
             # hash(v, n_partitions) layout as the edges or it would
             # re-exchange the vector every iteration — re-pin both
             # vec_parts (ranks inherit it below) and the cached vd
-            old_vd = vd
-            vec_parts = g.n_partitions
-            vd = old_vd.repartition(vec_parts, "v").cache()
-            vd.count()
-            old_vd.unpersist()
+            # (no-op when the vector already kept the wide layout)
+            if vec_parts != g.n_partitions:
+                old_vd = vd
+                vec_parts = g.n_partitions
+                vd = old_vd.repartition(vec_parts, "v").cache()
+                vd.count()
+                old_vd.unpersist()
 
     start_iter = 0
     ranks = None
@@ -226,9 +250,13 @@ def pagerank(
         # the previous rank rides ALONG in the new row (_prev), so the
         # per-iteration scalar job is a single-table scan of the fresh
         # checkpoint — no O(n)⋈O(n) delta join (reference allreduce,
-        # pagerank.cpp:160-201, is likewise a fold over the new vector)
+        # pagerank.cpp:160-201, is likewise a fold over the new vector).
+        # Fixed-iteration mode (tol < 0) needs no delta, so it drops the
+        # column entirely — a narrower checkpoint row.
+        prev_in = (F.col("rank").alias("_prev"),) if tol >= 0 else ()
+        prev_out = ("_prev",) if tol >= 0 else ()
         new_ranks = (
-            ranks.select("v", "deg", F.col("rank").alias("_prev"))
+            ranks.select("v", "deg", *prev_in)
             .join(sums, "v", "left")
             .select(
                 "v",
@@ -236,7 +264,7 @@ def pagerank(
                 (F.lit(base) + F.lit(alpha) * F.coalesce(F.col("s"), F.lit(0.0))).alias(
                     "rank"
                 ),
-                "_prev",
+                *prev_out,
             )
         )
         if broadcast_contrib and vec_parts != g.n_partitions and n >= 100_000:
@@ -255,7 +283,7 @@ def pagerank(
             # durable path: the scalar job reads the re-loaded snapshot
             # (_prev rides in the snapshot; resume ignores extra columns)
             snap = checkpointer.snapshot(
-                new_ranks.select("v", "deg", "rank", "_prev"),
+                new_ranks.select("v", "deg", "rank", *prev_out),
                 it,
                 metrics={"n": n, "m": m},
             )
