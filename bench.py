@@ -43,7 +43,20 @@ def build_spark(cpus: int, shuffle: int):
     extra["spark.cleaner.periodicGC.interval"] = os.environ.get(
         "BENCH_PERIODIC_GC", "30min"
     )
-    extra["spark.driver.extraJavaOptions"] = "-XX:+ExplicitGCInvokesConcurrent"
+    # Iterative SpMV loops generate a FRESH whole-stage-codegen class per
+    # iteration (the per-iteration base constant is inlined into the
+    # source, so the codegen cache never hits).  At the JVM's default
+    # 240 MB reserved code cache this fills within tens of iterations;
+    # the JVM then disables the JIT until a cache flush and whole
+    # supersteps run interpreted — measured as sporadic 8-10x
+    # iteration-CPU blowups (identical input bytes, 35s -> 117s stage
+    # CPU) in the scale-22 bench.  2g keeps compilation alive for the
+    # whole run; real clusters tune this the same way for long-lived
+    # iterative executors.
+    extra["spark.driver.extraJavaOptions"] = (
+        "-XX:+ExplicitGCInvokesConcurrent -XX:ReservedCodeCacheSize=2g "
+        + os.environ.get("BENCH_DRIVER_XOPTS", "")
+    ).strip()
     # memory-backed shuffle dirs remove local-disk contention between
     # concurrent shuffle writers (bench-only; a real cluster has
     # per-executor disks + the external shuffle service)
@@ -52,6 +65,10 @@ def build_spark(cpus: int, shuffle: int):
         os.makedirs(shm, exist_ok=True)
         extra["spark.local.dir"] = shm
         extra["spark.shuffle.compress"] = "false"
+    # diagnostics escape hatch: BENCH_EXTRA_CONF='{"spark.x": "y", ...}'
+    bx = os.environ.get("BENCH_EXTRA_CONF")
+    if bx:
+        extra.update(json.loads(bx))
     return get_spark(
         app_name=f"combblas-bench-{cpus}",
         master=f"local[{cpus}]",

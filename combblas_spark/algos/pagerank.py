@@ -29,6 +29,7 @@ Spark formulation, tuned for one-shuffle iterations:
 
 from __future__ import annotations
 
+import os
 import time as _time
 
 from dataclasses import dataclass
@@ -255,17 +256,43 @@ def pagerank(
         # column entirely — a narrower checkpoint row.
         prev_in = (F.col("rank").alias("_prev"),) if tol >= 0 else ()
         prev_out = ("_prev",) if tol >= 0 else ()
-        new_ranks = (
-            ranks.select("v", "deg", *prev_in)
-            .join(sums, "v", "left")
-            .select(
-                "v",
-                "deg",
-                (F.lit(base) + F.lit(alpha) * F.coalesce(F.col("s"), F.lit(0.0))).alias(
-                    "rank"
-                ),
-                *prev_out,
-            )
+        # On the wide layout both sides of ranks⋈sums are already
+        # hash(v, n_partitions) (the checkpoint inherits the previous
+        # join's layout; sums inherits the groupBy's), so a shuffled-hash
+        # join is exchange-AND-sort-free.  The hint pins that plan: the
+        # post-agg size of sums (~24 B/vertex) sits right at the 64 MB
+        # AQE broadcast threshold at a few million vertices, and letting
+        # AQE flip to a broadcast join re-introduces a multi-second
+        # serial driver build per iteration (measured as run-to-run
+        # 11s-vs-13s superstep floors at scale 22, local[4]).
+        sums_j = sums.hint("shuffle_hash") if vec_parts == g.n_partitions else sums
+        # Plan-stable iteration: ``base`` changes every iteration, and a
+        # literal would be INLINED into the whole-stage-codegen source —
+        # a brand-new generated class per iteration.  On big graphs that
+        # measurably poisons the JIT (the C2 queue re-churns each
+        # superstep; task CPU was observed 3x inflated mid-run at scale
+        # 22 until profiles re-settled).  Feeding base through a 1-row
+        # broadcast parameter table keeps the generated source — and so
+        # the compiled class, via Spark's codegen cache — IDENTICAL
+        # across iterations; only the data changes.  Small graphs keep
+        # the plain literal: one extra broadcast stage per iteration
+        # costs more than compilation there.
+        if n >= NARROW_VEC_ROWS:
+            base_param = spark.createDataFrame([(float(base),)], "_base double")
+            base_col = F.col("_base")
+        else:
+            base_param = None
+            base_col = F.lit(base)
+        joined = ranks.select("v", "deg", *prev_in).join(sums_j, "v", "left")
+        if base_param is not None:
+            joined = joined.crossJoin(F.broadcast(base_param))
+        new_ranks = joined.select(
+            "v",
+            "deg",
+            (base_col + F.lit(alpha) * F.coalesce(F.col("s"), F.lit(0.0))).alias(
+                "rank"
+            ),
+            *prev_out,
         )
         if broadcast_contrib and vec_parts != g.n_partitions and n >= 100_000:
             # worth a stage barrier only when the vector is big enough
@@ -316,6 +343,16 @@ def pagerank(
         ranks = snap.select("v", "deg", "rank")
         it += 1
         iter_seconds.append(_time.time() - _it_t0)
+        if os.environ.get("PAGERANK_DEBUG_CODEGEN"):
+            jvm = spark._jvm
+            cm = getattr(
+                getattr(jvm.org.apache.spark.metrics.source, "CodegenMetrics$"),
+                "MODULE$",
+            )
+            print(
+                f"[codegen] iter={it} compiles={cm.METRIC_COMPILATION_TIME().getCount()}",
+                flush=True,
+            )
 
     return PageRankResult(
         ranks=ranks.select("v", "rank"),

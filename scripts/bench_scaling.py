@@ -81,7 +81,21 @@ def _pin_prefix(cpus: int, lo: int) -> list[str]:
     return ["taskset", "-c", cores]
 
 
-def run_once(cpus: int, scale: str, iters: str, mem: str, lo: int) -> dict:
+def _host_steal_seconds() -> float:
+    """Cumulative hypervisor steal time (s) across all cpus — the
+    sandbox sits on a shared host and steal arrives in multi-minute
+    bursts; recording the per-run delta lets the artifact say which
+    samples were contaminated instead of guessing."""
+    try:
+        with open("/proc/stat") as fh:
+            parts = fh.readline().split()
+        return int(parts[8]) / 100.0  # jiffies -> seconds (USER_HZ=100)
+    except Exception:
+        return 0.0
+
+
+def run_once(cpus: int, scale: str, iters: int, mem: str, lo: int) -> dict:
+    steal0 = _host_steal_seconds()
     cmd = _pin_prefix(cpus, lo) + [
         sys.executable,
         os.path.join(REPO, "bench.py"),
@@ -93,7 +107,7 @@ def run_once(cpus: int, scale: str, iters: str, mem: str, lo: int) -> dict:
         # local[8] samples trace to exactly this
         "--shuffle", os.environ.get("SCALING_SHUFFLE", "32"),
         "--rmat-scale", scale,
-        "--fixed-iters", iters,
+        "--fixed-iters", str(iters),
         "--edge-factor", os.environ.get("SCALING_EDGE_FACTOR", "16"),
         "--edges-parquet", _edges_cache(scale),
     ]
@@ -104,14 +118,26 @@ def run_once(cpus: int, scale: str, iters: str, mem: str, lo: int) -> dict:
         cmd, capture_output=True, text=True, cwd=REPO, env=env, check=True
     )
     line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
-    return json.loads(line)
+    res = json.loads(line)
+    res["host_steal_seconds"] = round(_host_steal_seconds() - steal0, 1)
+    return res
 
 
 def main() -> None:
     lo = int(os.environ.get("SCALING_N", "2"))
     hi = int(os.environ.get("SCALING_4N", "8"))
     scale = os.environ.get("SCALING_RMAT_SCALE", "22")
-    iters = os.environ.get("SCALING_ITERS", "10")
+    iters = int(os.environ.get("SCALING_ITERS", "10"))
+    # Equal-WALL noise exposure, not equal iteration count: a host-noise
+    # burst of fixed length contaminates L/iter_wall iterations, so with
+    # equal counts the same burst ruins ~4x the fraction of the high
+    # level's (4x shorter) supersteps — the warm median survives it at N
+    # and collapses at 4N, biasing measured efficiency strictly DOWN.
+    # Running ratio-many more iterations at the high level gives both
+    # levels the same wall-clock window per run, hence the same expected
+    # burst exposure per superstep sample.  Per-superstep throughput is
+    # unaffected by the superstep count; override via SCALING_ITERS_HI.
+    iters_hi = int(os.environ.get("SCALING_ITERS_HI", str(iters * hi // lo)))
     reps = int(os.environ.get("SCALING_REPS", "2"))
     mem = os.environ.get("SCALING_MEM", "48g")
 
@@ -119,7 +145,7 @@ def main() -> None:
     samples: dict[int, list[dict]] = {lo: [], hi: []}
     for r in range(reps):
         for cpus in (lo, hi):  # interleaved
-            res = run_once(cpus, scale, iters, mem, lo)
+            res = run_once(cpus, scale, iters if cpus == lo else iters_hi, mem, lo)
             samples[cpus].append(res)
             print(
                 f"run {r+1}/{reps} local[{cpus}]: "
@@ -176,8 +202,10 @@ def main() -> None:
         )
     result = {
         "protocol": (
-            f"seeded R-MAT scale {scale} (edgefactor {ef}), {iters} fixed PageRank "
-            f"iterations, {reps} interleaved fresh-JVM runs per level, {path} path, "
+            f"seeded R-MAT scale {scale} (edgefactor {ef}), fixed PageRank "
+            f"iterations equal-wall per level (local[{lo}]: {iters}, "
+            f"local[{hi}]: {iters_hi} — same noise-burst exposure per superstep), "
+            f"{reps} interleaved fresh-JVM runs per level, {path} path, "
             "steady-state median per-superstep throughput (construction excluded), "
             "level value = median of runs"
         ),
@@ -187,6 +215,9 @@ def main() -> None:
                 "throughput_samples": [s["edges_per_sec_per_iter"] for s in samples[c]],
                 "loop_seconds_samples": [s["value"] for s in samples[c]],
                 "iter_seconds_series": [s.get("iter_seconds") for s in samples[c]],
+                "host_steal_seconds_samples": [
+                    s.get("host_steal_seconds") for s in samples[c]
+                ],
                 "best_iter_throughput_samples": [
                     round(best_iter_tput(s), 1) for s in samples[c]
                 ],
