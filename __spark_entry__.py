@@ -1109,6 +1109,24 @@ GROUP BY a.comp
 """
 )
 
+LARGEST_CC_SQL = (
+    _cc_sql(CC_ROUNDS).rpartition("\nSELECT")[0]
+    + f""",
+top AS (
+  SELECT comp FROM j{CC_ROUNDS}
+  GROUP BY comp ORDER BY count(*) DESC, comp ASC LIMIT 1
+),
+members AS (
+  SELECT v, ROW_NUMBER() OVER (ORDER BY v) - 1 AS new_id
+  FROM j{CC_ROUNDS} JOIN top USING (comp)
+)
+SELECT ms.new_id AS src, md.new_id AS dst, e.w AS w
+FROM edges e
+JOIN members ms ON e.src = ms.v
+JOIN members md ON e.dst = md.v
+"""
+)
+
 GRAPH_METRICS_SQL = (
     "WITH " + EDGES_CTE.strip()
     + """,
@@ -1834,6 +1852,16 @@ def q_induced_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sub.groupBy("comp").agg(F.count("*").alias("n_edges"))
 
 
+def q_largest_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LargestCC.cpp:164-214 driver: extract the largest connected
+    component and relabel its vertices densely 0..n'-1 (the SubsRef
+    compaction); returns the induced edge list."""
+    from combblas_spark.algos.incpipeline import largest_cc
+
+    sub, _comp, _size = largest_cc(spark, _graph(spark, sf_dir))
+    return sub.edges.select("src", "dst", "w")
+
+
 def q_graph_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bandwidth + Profile metrics (SpParMat.h:139-140) as one row,
     computed in a single fused aggregate (one driver action)."""
@@ -1933,6 +1961,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mcl_inc": q_mcl_inc,
         "betweenness": q_betweenness,
         "induced_edges": q_induced_edges,
+        "largest_cc": q_largest_cc,
         "graph_metrics": q_graph_metrics,
         "mtx_degrees": q_mtx_degrees,
         "webgraph_pagerank": q_webgraph_pagerank,
@@ -1976,6 +2005,7 @@ def oracle_sql() -> dict[str, str]:
         "mcl_inc": _mcl_inc_sql(MCL_ITERS),
         "betweenness": _betweenness_sql(BC_SOURCES, BC_DEPTH),
         "induced_edges": INDUCED_EDGES_SQL,
+        "largest_cc": LARGEST_CC_SQL,
         "graph_metrics": GRAPH_METRICS_SQL,
         "mtx_degrees": DEGREES_SQL,
         "sessionize": SESSIONIZE_SQL,
