@@ -49,16 +49,30 @@ def triangle_count(spark: SparkSession, g: Graph) -> int:
 
 
 def triangle_wedges(spark: SparkSession, g: Graph) -> DataFrame:
-    """DataFrame of (a, b, c) triangles with a<b<c under orientation."""
+    """DataFrame of (a, b, c) triangles with a<b<c under orientation.
+
+    Both joins that touch the wedge stream are pinned ``shuffle_hash``:
+    the hash build is always the *edge* side (O(m/P) rows per
+    partition), so the O(m^1.5) wedge stream is only ever streamed —
+    never sorted.  Without the pin, Catalyst broadcasts the edge side
+    while it fits (fine) but silently degrades to sort-merge beyond
+    broadcast reach, and sorting the wedge stream is what turned the
+    recorded 10x scale-curve run super-linear (30.4x; 16.9s vs 460s+
+    for the identical masked join at 10x — BENCH_SCALE_CURVE.json /
+    BASELINE.md round-5).  AQE's skew-join splitting still applies to
+    shuffled-hash joins, so a hot (a, c) partition splits at runtime.
+    """
     o = oriented_edges(g).cache()
     e1 = o.alias("e1")
-    e2 = o.alias("e2")
+    e2 = o.alias("e2").hint("shuffle_hash")
     wedges = e1.join(e2, F.col("e1.dst") == F.col("e2.src")).select(
         F.col("e1.src").alias("a"),
         F.col("e1.dst").alias("b"),
         F.col("e2.dst").alias("c"),
     )
-    mask = o.select(F.col(SRC).alias("a"), F.col(DST).alias("c"))
+    mask = o.select(F.col(SRC).alias("a"), F.col(DST).alias("c")).hint(
+        "shuffle_hash"
+    )
     return wedges.join(mask, ["a", "c"], "left_semi")
 
 
