@@ -87,7 +87,12 @@ def bench_pagerank(spark, sf_dir: str, n_partitions: int):
 
     g = link_graph(spark, sf_dir, n_partitions=n_partitions)
     t0 = time.time()
-    res = pagerank(spark, g, tol=1e-6, max_iter=60)
+    # Scale-free criterion: total rank mass still moving (L1).  2e-3 is
+    # the measured L1 value at the old max-norm-1e-6 stop on sf0.1
+    # (same accuracy there), but unlike max-norm it is invariant under
+    # corpus growth — iteration counts match across the 10x scale curve
+    # instead of silently dropping as n inflates (BASELINE.md round-5).
+    res = pagerank(spark, g, tol=2e-3, norm="l1", max_iter=60)
     res.ranks.count()  # materialize
     wall = time.time() - t0
     m = res.edges_processed // max(res.iterations, 1)

@@ -75,7 +75,7 @@ def _unpersist_rdds(spark: SparkSession, ids: set[int]) -> None:
 class PageRankResult:
     ranks: DataFrame          # (v: long, rank: double)
     iterations: int
-    delta: float              # final max|pr'-pr|
+    delta: float              # final convergence delta (max- or L1-norm)
     edges_processed: int      # num_edges * iterations (throughput numerator)
     loop_seconds: float = 0.0  # iteration-loop wall time, excluding one-time
                                # graph prep (Graph500-style TEPS accounting)
@@ -91,8 +91,25 @@ def pagerank(
     max_iter: int = 100,
     checkpointer=None,
     broadcast_contrib: bool | None = None,
+    norm: str = "max",
 ) -> PageRankResult:
     """Run PageRank to ``tol`` convergence (or ``max_iter``).
+
+    ``norm`` selects the convergence criterion: ``"max"`` stops at
+    ``max|pr'-pr| < tol`` (the per-vertex bound the small-graph parity
+    gates assert), ``"l1"`` at ``sum|pr'-pr| < tol`` — the total rank
+    mass still moving.  The distinction is a SCALE property, not a
+    taste: ranks sum to 1, so per-vertex values — and with them the
+    max-norm delta — shrink like 1/n as the corpus grows, and a fixed
+    absolute max-norm tol becomes trivially satisfiable (measured on
+    the 10x scale curve: 31 iterations at 1x, 21 at 10x for the same
+    per-copy structure; at 10^12 vertices it would "converge"
+    immediately).  The L1 delta is invariant under corpus growth (K
+    key-disjoint copies: per-copy mass scales 1/K, K copies sum back),
+    so ``norm="l1"`` keeps the iteration count — and the answer's
+    per-copy accuracy — stable at any scale; it is what bench.py's
+    converged query uses (tol 2e-3 ≈ the L1 value at the old sf0.1
+    max-norm-1e-6 stop, BASELINE.md round-5).
 
     ``checkpointer``: optional plans.checkpoint.Checkpointer — when set,
     each iteration's ranks are snapshotted durably and the run is
@@ -104,6 +121,8 @@ def pagerank(
     scalar aggregate (convergence delta + next dangling mass) — there
     is no separate checkpoint job and no O(n)⋈O(n) delta join.
     """
+    if norm not in ("max", "l1"):
+        raise ValueError(f"norm must be 'max' or 'l1', got {norm!r}")
     # --- static per-vertex state, computed once --------------------------
     # PageRank follows the link pattern: contribution = rank/outdeg per
     # edge, independent of edge weight (pagerank.cpp:160-201) — only the
@@ -319,8 +338,9 @@ def pagerank(
             # a side effect of the scalar aggregate below
             snap = new_ranks.localCheckpoint(eager=False)
         if tol >= 0:
+            _dexpr = F.sum if norm == "l1" else F.max
             row = snap.agg(
-                F.max(F.abs(F.col("rank") - F.col("_prev"))).alias("d"),
+                _dexpr(F.abs(F.col("rank") - F.col("_prev"))).alias("d"),
                 F.sum(
                     F.when(F.col("deg") == 0, F.col("rank")).otherwise(F.lit(0.0))
                 ).alias("dm"),

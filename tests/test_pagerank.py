@@ -94,3 +94,71 @@ def test_pagerank_broadcast_and_shuffle_paths_agree(spark):
     assert set(rb) == set(rs)
     for v in rb:
         assert abs(rb[v] - rs[v]) < 1e-9, v
+
+
+def numpy_pagerank_l1(triples, n, alpha=0.85, tol=1e-3, max_iter=200):
+    """Same dense loop, L1 (total-mass-moved) stopping rule."""
+    A = np.zeros((n, n))
+    for s, d, _ in triples:
+        A[s, d] += 1.0
+    outdeg = A.sum(axis=1)
+    pr = np.full(n, 1.0 / n)
+    for it in range(1, max_iter + 1):
+        contrib = np.where(outdeg > 0, pr / np.maximum(outdeg, 1), 0.0)
+        dangling = pr[outdeg == 0].sum()
+        new = (1 - alpha) / n + alpha * (A.T @ contrib + dangling / n)
+        delta = np.abs(new - pr).sum()
+        pr = new
+        if delta < tol:
+            return pr, it
+    return pr, max_iter
+
+
+def test_pagerank_l1_norm_matches_numpy(spark):
+    g = FX.graph(spark, FX.NINE)
+    res = pagerank(spark, g, tol=1e-3, norm="l1", max_iter=200)
+    want, want_iters = numpy_pagerank_l1(FX.NINE, 9, tol=1e-3)
+    got = ranks_to_array(res.ranks, 9)
+    assert res.iterations == want_iters
+    assert np.allclose(got, want, atol=1e-9)
+
+
+def disjoint_copies(triples, n, k):
+    """k key-disjoint copies of a fixture graph (the scale-curve
+    construction, scripts/make_scale_input.py)."""
+    out = []
+    for c in range(k):
+        out += [(s + c * n, d + c * n, w) for s, d, w in triples]
+    return out
+
+
+def test_pagerank_l1_iterations_invariant_under_copy_scaling(spark):
+    """The scale property the L1 criterion buys (BASELINE.md round-5):
+    corpus growth by key-disjoint replication must not change when
+    "converged" is declared.  Max-norm shrinks ~1/K and stops early;
+    L1 is exactly invariant."""
+    tol = 1e-3
+    one = pagerank(spark, FX.graph(spark, FX.NINE), tol=tol, norm="l1")
+    three = pagerank(
+        spark,
+        FX.graph(spark, disjoint_copies(FX.NINE, 9, 3)),
+        tol=tol,
+        norm="l1",
+    )
+    assert one.iterations == three.iterations
+    # and the defect being guarded against: max-norm stops EARLIER on
+    # the replicated corpus (per-vertex values shrank with n)
+    one_max = pagerank(spark, FX.graph(spark, FX.NINE), tol=1e-5, norm="max")
+    three_max = pagerank(
+        spark,
+        FX.graph(spark, disjoint_copies(FX.NINE, 9, 3)),
+        tol=1e-5,
+        norm="max",
+    )
+    assert three_max.iterations < one_max.iterations
+
+
+def test_pagerank_norm_validation(spark):
+    g = FX.graph(spark, FX.SEVEN)
+    with pytest.raises(ValueError):
+        pagerank(spark, g, norm="l2")
