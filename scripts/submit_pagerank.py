@@ -35,6 +35,9 @@ def main() -> None:
                     help="durable per-iteration snapshots (resumable run)")
     ap.add_argument("--run-id", default="pagerank")
     ap.add_argument("--tol", type=float, default=1e-6)
+    ap.add_argument("--norm", choices=("max", "l1"), default="max",
+                    help="convergence norm; use l1 at corpus scale — "
+                    "max-norm deltas shrink like 1/n (algos/pagerank.py)")
     ap.add_argument("--max-iter", type=int, default=100)
     ap.add_argument("--alpha", type=float, default=0.85)
     ap.add_argument("--partitions", type=int, default=0)
@@ -66,7 +69,8 @@ def main() -> None:
         else None
     )
     res = pagerank(
-        spark, g, alpha=args.alpha, tol=args.tol, max_iter=args.max_iter, checkpointer=ck
+        spark, g, alpha=args.alpha, tol=args.tol, max_iter=args.max_iter,
+        checkpointer=ck, norm=args.norm,
     )
     res.ranks.write.mode("overwrite").parquet(args.output)
     print(
