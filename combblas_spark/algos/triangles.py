@@ -33,9 +33,14 @@ def oriented_edges(g: Graph) -> DataFrame:
         .distinct()
     )
     deg = undirected.groupBy(F.col(SRC).alias("v")).agg(F.count("*").alias("deg"))
-    e = (
-        undirected.join(deg.withColumnRenamed("v", SRC).withColumnRenamed("deg", "sdeg"), SRC)
-        .join(deg.withColumnRenamed("v", DST).withColumnRenamed("deg", "ddeg"), DST)
+    # Degree attach: build side is the O(n) degree vector (n/P rows per
+    # partition), so pin shuffled-hash — sort-merge would sort the O(m)
+    # edge stream twice for no benefit (same rationale as the wedge
+    # joins below; scale-curve evidence in BASELINE.md round-5).
+    sdeg = deg.withColumnRenamed("v", SRC).withColumnRenamed("deg", "sdeg")
+    ddeg = deg.withColumnRenamed("v", DST).withColumnRenamed("deg", "ddeg")
+    e = undirected.join(sdeg.hint("shuffle_hash"), SRC).join(
+        ddeg.hint("shuffle_hash"), DST
     )
     keep = (F.col("sdeg") < F.col("ddeg")) | (
         (F.col("sdeg") == F.col("ddeg")) & (F.col(SRC) < F.col(DST))

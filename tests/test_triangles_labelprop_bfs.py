@@ -196,3 +196,24 @@ def test_single_child_bfs_one_rep_per_parent(spark):
     for (p, lv), vs in kids.items():
         flagged = [v for v, s in vs if s]
         assert flagged == [min(v for v, _ in vs)], (p, lv)
+
+
+def test_triangle_wedge_joins_never_sort(spark):
+    """The scale-curve fix (BASELINE.md round-5): the O(m^1.5) wedge
+    stream must stream through shuffled-hash joins — a sort-merge plan
+    sorts it, which is what turned the recorded 10x run super-linear.
+    Assert the pinned plan on the pre-adaptive physical plan (AQE may
+    still pick broadcast for tiny inputs at runtime; the pin only has
+    to forbid the sort-merge degradation beyond broadcast reach)."""
+    from combblas_spark.algos.triangles import triangle_wedges
+    from combblas_spark.sources import fixtures as FX
+
+    g = FX.graph(spark, FX.NINE)
+    plan = (
+        triangle_wedges(spark, g)
+        ._jdf.queryExecution()
+        .sparkPlan()
+        .toString()
+    )
+    assert "SortMergeJoin" not in plan, plan
+    assert "ShuffledHashJoin" in plan, plan
