@@ -35,8 +35,14 @@ def spgemm(a: Graph, b: Graph, semiring: Semiring = PLUS_TIMES) -> Graph:
         F.col(SRC).alias("k"), F.col(DST).alias("j"), F.col(W).alias("bw")
     )
     contrib = semiring.contribution(F.col("aw"), F.col("bw"))
+    # Pin shuffled-hash: the build is one hash-partitioned slab of B
+    # (nnz(B)/P rows) — the DataFrame analogue of the reference's local
+    # hash-SpGEMM kernel.  Sort-merge would instead SORT both operand
+    # streams, and beyond broadcast reach Catalyst picks it silently
+    # (the degradation the triangle scale-curve run measured;
+    # BASELINE.md round-5).
     ce = (
-        ae.join(be, "k", "inner")
+        ae.join(be.hint("shuffle_hash"), "k", "inner")
         .groupBy(F.col("i").alias(SRC), F.col("j").alias(DST))
         .agg(semiring.aggregate(contrib).alias(W))
     )
@@ -64,10 +70,15 @@ def masked_spgemm(
     be = b.edges.select(
         F.col(SRC).alias("k"), F.col(DST).alias("j"), F.col(W).alias("bw")
     )
-    pairs = ae.join(be, "k", "inner")
+    # Same shuffled-hash pins as spgemm(): the B slab is the build of
+    # the multiply, the mask pattern (nnz(M)/P rows) the build of the
+    # semi join — the A·B product stream only ever STREAMS; sorting it
+    # is the super-linear failure mode the scale curve recorded for the
+    # wedge stream (BASELINE.md round-5).
+    pairs = ae.join(be.hint("shuffle_hash"), "k", "inner")
     mk = mask.edges.select(F.col(SRC).alias("i"), F.col(DST).alias("j"))
     how = "left_anti" if exclude else "left_semi"
-    pairs = pairs.join(mk, ["i", "j"], how)
+    pairs = pairs.join(mk.hint("shuffle_hash"), ["i", "j"], how)
     contrib = semiring.contribution(F.col("aw"), F.col("bw"))
     ce = (
         pairs.groupBy(F.col("i").alias(SRC), F.col("j").alias(DST))
