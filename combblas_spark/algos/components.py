@@ -58,12 +58,23 @@ def connected_components(
         .repartition(g.n_partitions, "v")
         .cache()
     )
-    labels.count()
+    n = labels.count()
+    # Same bytes-aware strategy switch as operators/spmv.py: broadcast
+    # the O(n) label vector while it fits executor memory; beyond that
+    # pin a shuffled-hash join with the vector as the O(n/P) build —
+    # otherwise Catalyst silently degrades every superstep to
+    # sort-merge and SORTS the O(m) edge stream per iteration.
+    from ..operators.spmv import broadcast_nnz_cutoff
+
+    _cut = broadcast_nnz_cutoff(spark)
+
+    def _vec(df: DataFrame) -> DataFrame:
+        return F.broadcast(df) if n < _cut else df.hint("shuffle_hash")
 
     for it in range(max_iter):
         # SpMV over Select2ndMin: min neighbor label per vertex
         nbr_min = (
-            edges.join(labels, edges[SRC] == labels["v"], "inner")
+            edges.join(_vec(labels), edges[SRC] == labels["v"], "inner")
             .groupBy(F.col(DST).alias("v"))
             .agg(F.min("comp").alias("nmin"))
         )
@@ -80,13 +91,13 @@ def connected_components(
         # FullyDistVec subsref gather, FullyDistVec.cpp:933)
         l2 = hooked.select(F.col("v").alias("p"), F.col("comp").alias("pcomp"))
         jumped = (
-            hooked.join(l2, hooked["comp"] == l2["p"], "left")
+            hooked.join(_vec(l2), hooked["comp"] == l2["p"], "left")
             .select("v", F.coalesce(F.col("pcomp"), F.col("comp")).alias("comp"))
             .repartition(g.n_partitions, "v")
         )
         jumped = jumped.localCheckpoint(eager=True)
         changed = (
-            jumped.join(labels.withColumnRenamed("comp", "old"), "v")
+            jumped.join(_vec(labels.withColumnRenamed("comp", "old")), "v")
             .filter(F.col("comp") != F.col("old"))
             .limit(1)
             .count()
@@ -116,12 +127,19 @@ def connected_components_as(
     parents = (
         g.vertices().select("v", F.col("v").alias("p")).repartition(g.n_partitions, "v")
     ).cache()
-    parents.count()
+    n = parents.count()
+    from ..operators.spmv import broadcast_nnz_cutoff
+
+    _cut = broadcast_nnz_cutoff(spark)
+
+    def _vec(df: DataFrame) -> DataFrame:
+        # see connected_components: broadcast-or-shuffled-hash switch
+        return F.broadcast(df) if n < _cut else df.hint("shuffle_hash")
 
     for it in range(max_iter):
         # min neighbor parent per vertex (Select2ndMin SpMV)
         nbr = (
-            edges.join(parents, edges[SRC] == parents["v"], "inner")
+            edges.join(_vec(parents), edges[SRC] == parents["v"], "inner")
             .groupBy(F.col(DST).alias("v"))
             .agg(F.min("p").alias("minp"))
         )
@@ -135,19 +153,19 @@ def connected_components_as(
             .filter(F.col("newp") < F.col("root"))
         )
         hooked = (
-            parents.join(cand, parents["p"] == cand["root"], "left")
+            parents.join(_vec(cand), parents["p"] == cand["root"], "left")
             .select("v", F.coalesce(F.col("newp"), F.col("p")).alias("p"))
         )
         # shortcut to fixpoint-ish: two pointer jumps per superstep
         for _ in range(2):
             l2 = hooked.select(F.col("v").alias("q"), F.col("p").alias("qp"))
             hooked = (
-                hooked.join(l2, hooked["p"] == l2["q"], "left")
+                hooked.join(_vec(l2), hooked["p"] == l2["q"], "left")
                 .select("v", F.coalesce(F.col("qp"), F.col("p")).alias("p"))
             )
         hooked = hooked.repartition(g.n_partitions, "v").localCheckpoint(eager=True)
         changed = (
-            hooked.join(parents.withColumnRenamed("p", "old"), "v")
+            hooked.join(_vec(parents.withColumnRenamed("p", "old")), "v")
             .filter(F.col("p") != F.col("old"))
             .limit(1)
             .count()

@@ -50,14 +50,23 @@ def label_propagation(
         .repartition(g.n_partitions, "v")
         .cache()
     )
-    labels.count()
+    n = labels.count()
+    # broadcast-or-shuffled-hash switch for the O(n) vector side (see
+    # operators/spmv.py and algos/components.py: beyond broadcast reach
+    # a sort-merge plan would sort the O(m) edge stream per iteration)
+    from ..operators.spmv import broadcast_nnz_cutoff
+
+    _cut = broadcast_nnz_cutoff(spark)
+
+    def _vec(df):
+        return F.broadcast(df) if n < _cut else df.hint("shuffle_hash")
 
     argmax = Window.partitionBy("v").orderBy(
         F.col("cnt").desc(), F.col("label").asc()
     )
     for _ in range(n_iter):
         counted = (
-            edges.join(labels, edges[SRC] == labels["v"], "inner")
+            edges.join(_vec(labels), edges[SRC] == labels["v"], "inner")
             .groupBy(F.col(DST).alias("v"), F.col("label"))
             .agg(F.count("*").alias("cnt"))
         )
@@ -67,7 +76,7 @@ def label_propagation(
             .select("v", F.col("label").alias("new_label"))
         )
         labels = (
-            labels.join(top, "v", "left")
+            labels.join(_vec(top), "v", "left")
             .select("v", F.coalesce(F.col("new_label"), F.col("label")).alias("label"))
             .repartition(g.n_partitions, "v")
             .localCheckpoint(eager=True)
