@@ -505,6 +505,23 @@ SELECT count(*) AS n_triangles
 FROM w WHERE EXISTS (SELECT 1 FROM o WHERE o.src = w.a AND o.dst = w.c)
 """
 
+# Per-vertex triangle credit: the triangle SET is orientation-
+# independent, so the oracle may use the same degree orientation and
+# credit each (a, b, c) to all three corners.
+TRIANGLES_PV_SQL = (
+    TRIANGLES_SQL.rpartition("\nSELECT")[0]
+    + """,
+t AS MATERIALIZED (
+  SELECT a, b, c FROM w
+  WHERE EXISTS (SELECT 1 FROM o WHERE o.src = w.a AND o.dst = w.c)
+),
+corners AS (
+  SELECT a AS v FROM t UNION ALL SELECT b FROM t UNION ALL SELECT c FROM t
+)
+SELECT v, count(*) AS triangles FROM corners GROUP BY v
+"""
+)
+
 DEGREES_SQL = (
     "WITH " + EDGES_CTE.strip() + "\nSELECT src AS v, count(*) AS deg FROM edges GROUP BY src"
 )
@@ -1333,6 +1350,16 @@ def q_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(spark, _graph(spark, sf_dir))
 
 
+def q_cc_as(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Awerbuch–Shiloach hooking variant (CC.h:1194-1341) — converges
+    to the same (v, comp=min-member-id) labels as FastSV, so it shares
+    the CC oracle; gating both paths makes the cross-path consistency
+    check a driver-level gate, not just a pytest."""
+    from combblas_spark.algos.components import connected_components_as
+
+    return connected_components_as(spark, _graph(spark, sf_dir))
+
+
 def q_labelprop(spark: SparkSession, sf_dir: str) -> DataFrame:
     from combblas_spark.algos.labelprop import label_propagation
 
@@ -1359,6 +1386,34 @@ def q_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = Graph(edges=und, n_partitions=32)
     n = triangle_count(spark, g)
     return spark.createDataFrame([(n,)], schema="n_triangles long")
+
+
+def _copurchase_graph(spark, sf_dir):
+    from combblas_spark.graph import Graph
+    from combblas_spark.sources.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    und = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst"))
+        .distinct()
+        .withColumn("w", F.lit(1.0))
+    )
+    return Graph(edges=und, n_partitions=32)
+
+
+def q_triangles_pv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vertex triangle credit (each triangle to all 3 corners) —
+    the per-vertex output of the masked-SpGEMM pattern the reference
+    reduces in MaximalIndependentSet/clustering-coefficient uses."""
+    from combblas_spark.algos.triangles import per_vertex_triangles
+
+    return per_vertex_triangles(spark, _copurchase_graph(spark, sf_dir))
 
 
 def q_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1927,8 +1982,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pagerank5": q_pagerank,
         "cc": q_cc,
+        "cc_as": q_cc_as,
         "labelprop2": q_labelprop,
         "triangles": q_triangles,
+        "triangles_pv": q_triangles_pv,
         "degrees": q_degrees,
         "colsums": q_colsums,
         "kselect_top2": q_kselect,
@@ -1976,8 +2033,10 @@ def oracle_sql() -> dict[str, str]:
     return {
         "pagerank5": _pagerank_sql(PR_ITERS),
         "cc": _cc_sql(CC_ROUNDS),
+        "cc_as": _cc_sql(CC_ROUNDS),
         "labelprop2": _labelprop_sql(LP_ITERS),
         "triangles": TRIANGLES_SQL,
+        "triangles_pv": TRIANGLES_PV_SQL,
         "degrees": DEGREES_SQL,
         "colsums": COLSUMS_SQL,
         "kselect_top2": KSELECT_SQL,
