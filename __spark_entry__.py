@@ -1368,23 +1368,10 @@ def q_labelprop(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     from combblas_spark.algos.triangles import triangle_count
-    from combblas_spark.graph import Graph
-    from combblas_spark.sources.tables import load_table
 
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    a, b = li.alias("a"), li.alias("b")
-    und = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
-        )
-        .select(F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst"))
-        .distinct()
-        .withColumn("w", F.lit(1.0))
-    )
-    g = Graph(edges=und, n_partitions=32)
-    n = triangle_count(spark, g)
+    # same input graph as q_triangles_pv BY CONSTRUCTION — both gates
+    # must run on one definition or a tweak to one silently diverges them
+    n = triangle_count(spark, _copurchase_graph(spark, sf_dir))
     return spark.createDataFrame([(n,)], schema="n_triangles long")
 
 

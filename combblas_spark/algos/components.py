@@ -59,17 +59,14 @@ def connected_components(
         .cache()
     )
     n = labels.count()
-    # Same bytes-aware strategy switch as operators/spmv.py: broadcast
-    # the O(n) label vector while it fits executor memory; beyond that
-    # pin a shuffled-hash join with the vector as the O(n/P) build —
-    # otherwise Catalyst silently degrades every superstep to
-    # sort-merge and SORTS the O(m) edge stream per iteration.
-    from ..operators.spmv import broadcast_nnz_cutoff
+    # bytes-aware broadcast-or-shuffled-hash switch for the O(n) vector
+    # side — policy lives in operators/spmv.vec_join_side
+    from ..operators.spmv import broadcast_nnz_cutoff, vec_join_side
 
     _cut = broadcast_nnz_cutoff(spark)
 
     def _vec(df: DataFrame) -> DataFrame:
-        return F.broadcast(df) if n < _cut else df.hint("shuffle_hash")
+        return vec_join_side(df, n, cutoff=_cut)
 
     for it in range(max_iter):
         # SpMV over Select2ndMin: min neighbor label per vertex
@@ -128,13 +125,13 @@ def connected_components_as(
         g.vertices().select("v", F.col("v").alias("p")).repartition(g.n_partitions, "v")
     ).cache()
     n = parents.count()
-    from ..operators.spmv import broadcast_nnz_cutoff
+    from ..operators.spmv import broadcast_nnz_cutoff, vec_join_side
 
     _cut = broadcast_nnz_cutoff(spark)
 
     def _vec(df: DataFrame) -> DataFrame:
-        # see connected_components: broadcast-or-shuffled-hash switch
-        return F.broadcast(df) if n < _cut else df.hint("shuffle_hash")
+        # see operators/spmv.vec_join_side: bytes-aware strategy switch
+        return vec_join_side(df, n, cutoff=_cut)
 
     for it in range(max_iter):
         # min neighbor parent per vertex (Select2ndMin SpMV)

@@ -107,6 +107,11 @@ def assemble_minc(
     ne = ne.join(both_old, [SRC, DST], "left_anti")
     if not normalized_assign:
         return summary_e.unionByName(ne)
+    # the normalized path drives ~6 separate actions over ne (four
+    # isEmpty probes, the n_new count, the block scans) — checkpoint the
+    # anti-join once instead of re-running its distinct+anti-join
+    # lineage for each
+    ne = ne.localCheckpoint(eager=True)
     old_s = old.withColumnRenamed("v", SRC)
     old_d = old.withColumnRenamed("v", DST)
     m12 = ne.join(old_s, SRC, "left_semi").join(old_d, DST, "left_anti")

@@ -51,15 +51,14 @@ def label_propagation(
         .cache()
     )
     n = labels.count()
-    # broadcast-or-shuffled-hash switch for the O(n) vector side (see
-    # operators/spmv.py and algos/components.py: beyond broadcast reach
-    # a sort-merge plan would sort the O(m) edge stream per iteration)
-    from ..operators.spmv import broadcast_nnz_cutoff
+    # bytes-aware broadcast-or-shuffled-hash switch for the O(n) vector
+    # side — policy lives in operators/spmv.vec_join_side
+    from ..operators.spmv import broadcast_nnz_cutoff, vec_join_side
 
     _cut = broadcast_nnz_cutoff(spark)
 
     def _vec(df):
-        return F.broadcast(df) if n < _cut else df.hint("shuffle_hash")
+        return vec_join_side(df, n, cutoff=_cut)
 
     argmax = Window.partitionBy("v").orderBy(
         F.col("cnt").desc(), F.col("label").asc()

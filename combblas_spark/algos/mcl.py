@@ -138,7 +138,13 @@ def mcl(
             nnz_now = a.edges.count()
             if nnz_now > nnz_prev:
                 a = extra_prune(a)
-            nnz_prev = nnz_now
+                # the guard compares against the previous ITERATE's
+                # state (IncClust.h prevNnz) — after a firing prune
+                # that state is the PRUNED matrix, not the pre-prune
+                # count, else a post-prune re-expansion never re-fires
+                nnz_prev = a.edges.count()
+            else:
+                nnz_prev = nnz_now
         # inflation then re-normalize
         a = replace(a, edges=a.edges.withColumn(W, F.pow(F.col(W), inflation)))
         a = _col_stochastic(a)

@@ -52,6 +52,23 @@ def _persistent_rdd_ids(spark: SparkSession) -> set[int]:
     return {int(k) for k in jmap.keySet().toArray()}
 
 
+def _checkpoint_rdd_id(df: DataFrame) -> int | None:
+    """Id of the RDD backing a localCheckpointed DataFrame.
+
+    ``localCheckpoint`` rewrites the plan to a ``LogicalRDD`` holding the
+    (to-be-)persisted RDD, so the id is known even before a lazy
+    checkpoint materializes.  Returns ``None`` for plans that are not
+    checkpoint-backed (e.g. the durable-snapshot path re-reads parquet).
+    """
+    try:
+        plan = df._jdf.queryExecution().analyzed()
+        if plan.getClass().getName().endswith(".LogicalRDD"):
+            return int(plan.rdd().id())
+    except Exception:
+        pass
+    return None
+
+
 def _unpersist_rdds(spark: SparkSession, ids: set[int]) -> None:
     """Non-blocking unpersist of the given persisted RDD ids.
 
@@ -229,15 +246,18 @@ def pagerank(
         dangling = float(
             ranks.filter(F.col("deg") == 0).agg(F.sum("rank")).collect()[0][0] or 0.0
         )
-    # Everything persisted up to here (edge cache, vd cache, a resumed
-    # snapshot) is load-bearing across iterations — protect it; anything
-    # persisted later is an iteration checkpoint, superseded as soon as
-    # the next one lands.
-    protected_rdds = _persistent_rdd_ids(spark)
+    # Only RDD ids this loop itself creates (the per-iteration rank
+    # checkpoints) are ever freed — a global persisted-map diff would
+    # also sweep up RDDs another driver thread persists mid-iteration
+    # (Spark supports concurrent jobs on one session) and truncate THEIR
+    # lineage out from under them.  ``own_ckpt`` holds the live
+    # checkpoint's id; it is superseded when the next one materializes.
+    own_ckpt: set[int] = set()
     if ranks is None:
         # init 1/n; ranks carries deg so the iteration needs no extra join
         ranks = vd.select("v", "deg", F.lit(1.0 / n).alias("rank"))
         ranks = ranks.localCheckpoint(eager=True)
+        own_ckpt = {i for i in (_checkpoint_rdd_id(ranks),) if i is not None}
         dangling = ranks.filter(F.col("deg") == 0).count() / n
 
     delta = float("inf")
@@ -246,7 +266,7 @@ def pagerank(
     loop_t0 = _time.time()
     while it < max_iter and delta > tol:
         _it_t0 = _time.time()
-        superseded = _persistent_rdd_ids(spark) - protected_rdds
+        superseded = own_ckpt
         # PlusTimes SpMV: edges ⋈ contrib (broadcast) → groupBy(dst).sum.
         # contrib = rank/deg for non-dangling sources.
         contrib = (
@@ -356,10 +376,12 @@ def pagerank(
                     ).alias("dm")
                 ).collect()[0]["dm"]
             )
-        # the action above materialized THIS iteration's checkpoint; every
-        # loop-created snapshot from before it is now superseded — free
-        # its blocks instead of waiting on a full-GC-triggered cleaner
-        _unpersist_rdds(spark, superseded)
+        # the action above materialized THIS iteration's checkpoint; the
+        # previous loop-created snapshot is now superseded — free its
+        # blocks instead of waiting on a full-GC-triggered cleaner
+        new_ckpt = {i for i in (_checkpoint_rdd_id(snap),) if i is not None}
+        _unpersist_rdds(spark, superseded - new_ckpt)
+        own_ckpt = new_ckpt
         ranks = snap.select("v", "deg", "rank")
         it += 1
         iter_seconds.append(_time.time() - _it_t0)

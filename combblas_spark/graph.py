@@ -38,6 +38,11 @@ class Graph:
 
     edges: DataFrame
     n_partitions: int = 32
+    #: replication factor of a pre-salted ``_salt`` column (set by
+    #: operators.spmv.salt_edges); consumers that must replicate the
+    #: other join side (spmv_salted_join) read it instead of trusting
+    #: their own default — a mismatch silently drops edges.
+    salt_count: int | None = None
 
     # -- constructors ----------------------------------------------------
     @classmethod

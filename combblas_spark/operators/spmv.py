@@ -70,6 +70,22 @@ def broadcast_nnz_cutoff(spark=None) -> int:
 BROADCAST_NNZ_CUTOFF = DEFAULT_BROADCAST_MAX_BYTES // VECTOR_ROW_BYTES
 
 
+def vec_join_side(
+    df: DataFrame, n: int, spark=None, cutoff: int | None = None
+) -> DataFrame:
+    """The O(n) vector side of an iterative superstep join, strategy
+    pinned: broadcast while it fits the byte budget, else shuffled-hash
+    with the vector as the O(n/P) build — otherwise Catalyst silently
+    degrades the superstep to sort-merge and SORTS the O(m) edge stream
+    every iteration.  The single policy point for every iterative
+    kernel (components, labelprop, …); pass a precomputed ``cutoff``
+    inside loops to skip the per-call conf read.
+    """
+    if cutoff is None:
+        cutoff = broadcast_nnz_cutoff(spark)
+    return F.broadcast(df) if n < cutoff else df.hint("shuffle_hash")
+
+
 def spmv(
     g: Graph,
     vec: DataFrame,
@@ -240,7 +256,20 @@ def spmv_salted_join(
     entire block — at corpus scale, a whole-executor-memory partition).
     """
     e = g.edges
-    if "_salt" not in e.columns:
+    if "_salt" in e.columns:
+        # Pre-salted layout: the vector MUST be replicated with the salt
+        # count the edges were written with, not this call's default — a
+        # mismatch means edge rows with _salt >= n_salts find no vector
+        # partner and are silently dropped.  salt_edges records it.
+        if g.salt_count is not None:
+            n_salts = g.salt_count
+        else:
+            raise ValueError(
+                "graph has a pre-salted _salt column but no salt_count; "
+                "build it with salt_edges() so the replication factor is "
+                "recorded (a mismatched n_salts silently drops edges)"
+            )
+    else:
         e = e.withColumn(
             "_salt", F.pmod(F.xxhash64(F.col(DST)), F.lit(n_salts)).cast("int")
         )
@@ -270,7 +299,7 @@ def salt_edges(g: Graph, n_salts: int = 8) -> Graph:
     salted = g.edges.withColumn(
         "_salt", F.pmod(F.xxhash64(F.col(DST)), F.lit(n_salts)).cast("int")
     ).repartition(g.n_partitions, SRC, "_salt")
-    return replace(g, edges=salted)
+    return replace(g, edges=salted, salt_count=n_salts)
 
 
 def dim_apply(

@@ -55,16 +55,22 @@ def word_ngrams(docs: DataFrame, n: int = 3, text_col: str = "text") -> DataFram
 
 
 def auto_max_df(n_docs: int) -> int:
-    """Corpus-size-derived stop-gram cap: ``max(1000, 2·⌈√n_docs⌉)``.
+    """Corpus-size-derived stop-gram cap: ``max(10_000, 2·⌈√n_docs⌉)``.
 
     Scale argument: the inverted-index self-join does Σ_g df_g² work;
     bounding every df_g by c gives Σ df_g² ≤ c · Σ df_g, i.e. join work
-    ≤ 2√n_docs · total_postings — **subquadratic in corpus size** no
-    matter how adversarial the gram distribution.  A fixed literal cap
-    (the old 10,000 default) is either wastefully tight at web scale or
-    quadratic-explosive on small corpora with many near-cap grams.
+    ≤ max(10_000, 2√n_docs) · total_postings — **subquadratic in corpus
+    size** no matter how adversarial the gram distribution, unlike the
+    old fixed 10,000 literal which was quadratic-explosive relative to
+    a small corpus yet wastefully tight at web scale.  The floor is
+    kept AT the old literal, not below it: tightening the default would
+    silently drop near-dup pairs whose shared grams have df in
+    (new_cap, 10_000] for every existing caller (a recall regression
+    with no error).  Below ~25M docs the floor dominates and behavior
+    is exactly the historical default; beyond it the cap grows as
+    2·√n_docs.
     """
-    return max(1_000, 2 * math.isqrt(max(n_docs, 0)))
+    return max(10_000, 2 * math.isqrt(max(n_docs, 0)))
 
 
 def ngram_max_df_envelope(
@@ -81,23 +87,32 @@ def ngram_max_df_envelope(
     recorded, not guessed.
     """
     grams = word_ngrams(docs, n=n)
-    if max_df == "auto" or max_df is None:
+    if max_df == "auto":
         max_df = auto_max_df(docs.count())
+    # None means NO cap — exactly as in ngram_jaccard_pairs — so the
+    # envelope for an uncapped run truthfully reports zero drops
+    # (resolving None to the auto cap here would claim an exact run
+    # dropped mass it never dropped).
+    cap_col = (
+        F.lit(int(max_df)).alias("max_df")
+        if max_df is not None
+        else F.lit(None).cast("int").alias("max_df")
+    )
+    over = F.col("df") > max_df if max_df is not None else F.lit(False)
     df_counts = grams.groupBy("gram").agg(F.count("*").alias("df"))
     return df_counts.agg(
-        F.lit(int(max_df)).alias("max_df"),
+        cap_col,
         F.sum("df").alias("total_postings"),
-        F.coalesce(
-            F.sum(F.when(F.col("df") > max_df, F.col("df"))), F.lit(0)
-        ).alias("dropped_postings"),
+        F.coalesce(F.sum(F.when(over, F.col("df"))), F.lit(0)).alias(
+            "dropped_postings"
+        ),
         F.round(
-            F.coalesce(F.sum(F.when(F.col("df") > max_df, F.col("df"))), F.lit(0))
-            / F.sum("df"),
+            F.coalesce(F.sum(F.when(over, F.col("df"))), F.lit(0)) / F.sum("df"),
             6,
         ).alias("dropped_mass"),
-        F.coalesce(
-            F.count(F.when(F.col("df") > max_df, F.lit(1))), F.lit(0)
-        ).alias("n_stop_grams"),
+        F.coalesce(F.count(F.when(over, F.lit(1))), F.lit(0)).alias(
+            "n_stop_grams"
+        ),
     )
 
 
@@ -114,7 +129,7 @@ def ngram_jaccard_pairs(
     (stop-grams) before the self-join; exactness is preserved for any
     pair whose intersection isn't entirely stop-grams — at the default
     threshold real near-dups always share rare grams.  The default cap
-    is ``auto_max_df(n_docs) = max(1000, 2·⌈√n_docs⌉)``, which bounds
+    is ``auto_max_df(n_docs) = max(10_000, 2·⌈√n_docs⌉)``, which bounds
     the self-join to ≤ 2√n_docs · postings row-pairs (subquadratic at
     any corpus size); pass an int to pin it, or None to disable capping
     (exact, quadratic worst case).  Measure the recall envelope of a
@@ -140,7 +155,7 @@ def ngram_jaccard_pairs(
     )
     sa = sizes.select(F.col("doc_id").alias("a"), F.col("sz").alias("sza"))
     sb = sizes.select(F.col("doc_id").alias("b"), F.col("sz").alias("szb"))
-    return (
+    out = (
         inter.join(sa, "a")
         .join(sb, "b")
         .select(
@@ -152,6 +167,11 @@ def ngram_jaccard_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
     )
+    # materialize, then free the corpus-sized gram cache (see
+    # minhash_lsh_pairs — a lazy return leaks it for the session)
+    out = out.localCheckpoint(eager=True)
+    grams.unpersist(False)
+    return out
 
 
 # --------------------------------------------------------------------------
@@ -299,38 +319,48 @@ def minhash_lsh_pairs(
         gb = per_doc.select(F.col("doc_id").alias("b"), F.col("gs").alias("gsb"))
         inter = F.size(F.array_intersect("gsa", "gsb")).cast("double")
         union = (F.size("gsa") + F.size("gsb") - inter).cast("double")
-        return (
+        out = (
             cand.join(ga, "a")
             .join(gb, "b")
             .select("a", "b", F.round(inter / union, 6).alias("jaccard"))
             .filter(F.col("jaccard") >= threshold)
         )
-    # join_back: |A∩B| = count of grams the pair shares, computed by
-    # walking each candidate's grams once — never materializing a set
-    ga = grams.select(F.col("doc_id").alias("a"), "gram")
-    gb = grams.select(F.col("doc_id").alias("b"), "gram")
-    inter_counts = (
-        cand.join(ga, "a")
-        .join(gb, ["b", "gram"])
-        .groupBy("a", "b")
-        .agg(F.count("*").alias("inter"))
-    )
-    sa = per_doc.select(F.col("doc_id").alias("a"), F.col("sz").alias("sza"))
-    sb = per_doc.select(F.col("doc_id").alias("b"), F.col("sz").alias("szb"))
-    return (
-        inter_counts.join(sa, "a")
-        .join(sb, "b")
-        .select(
-            "a",
-            "b",
-            F.round(
-                F.col("inter")
-                / (F.col("sza") + F.col("szb") - F.col("inter")).cast("double"),
-                6,
-            ).alias("jaccard"),
+    else:
+        # join_back: |A∩B| = count of grams the pair shares, computed by
+        # walking each candidate's grams once — never materializing a set
+        ga = grams.select(F.col("doc_id").alias("a"), "gram")
+        gb = grams.select(F.col("doc_id").alias("b"), "gram")
+        inter_counts = (
+            cand.join(ga, "a")
+            .join(gb, ["b", "gram"])
+            .groupBy("a", "b")
+            .agg(F.count("*").alias("inter"))
         )
-        .filter(F.col("jaccard") >= threshold)
-    )
+        sa = per_doc.select(F.col("doc_id").alias("a"), F.col("sz").alias("sza"))
+        sb = per_doc.select(F.col("doc_id").alias("b"), F.col("sz").alias("szb"))
+        out = (
+            inter_counts.join(sa, "a")
+            .join(sb, "b")
+            .select(
+                "a",
+                "b",
+                F.round(
+                    F.col("inter")
+                    / (F.col("sza") + F.col("szb") - F.col("inter")).cast("double"),
+                    6,
+                ).alias("jaccard"),
+            )
+            .filter(F.col("jaccard") >= threshold)
+        )
+    # Materialize once, then FREE the corpus-sized caches: a lazy return
+    # would pin the exploded gram table + per-doc aggregates in executor
+    # storage for the session lifetime at every call (a dedup sweep over
+    # many corpora accumulates them until eviction pressure degrades
+    # everything else).  Retained blocks after return: O(result pairs).
+    out = out.localCheckpoint(eager=True)
+    grams.unpersist(False)
+    per_doc.unpersist(False)
+    return out
 
 
 # --------------------------------------------------------------------------

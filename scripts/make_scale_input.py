@@ -62,6 +62,39 @@ OFFSETS = {
 
 FIXED = ("region", "nation")
 
+#: absolute ceilings the scaled key space must stay under — customer
+#: vertex ids must stay below the engine's bipartite split
+#: (sources/tables.py SUPPLIER_OFFSET = 1e6: suppliers map to
+#: suppkey + 1e6, so a scaled custkey crossing 1e6 would COLLIDE with
+#: the supplier id space and silently corrupt every graph query)
+BUDGETS = {
+    ("customer", "c_custkey"): 1_000_000,
+    ("orders", "o_custkey"): 1_000_000,
+}
+
+
+def check_budgets(base, table: str, k: int) -> None:
+    """Fail loudly if K copies would overlap each other or cross an
+    absolute id budget — the key-disjointness invariant the whole
+    scale-curve protocol rests on."""
+    cols = list(OFFSETS[table])
+    maxes = base.agg(*[F.max(c).alias(c) for c in cols]).collect()[0]
+    for col in cols:
+        off, mx = OFFSETS[table][col], int(maxes[col])
+        if mx >= off:
+            raise SystemExit(
+                f"{table}.{col}: base max {mx} >= per-copy offset {off} — "
+                f"adjacent copies overlap"
+            )
+        budget = BUDGETS.get((table, col))
+        if budget is not None and (k - 1) * off + mx >= budget:
+            raise SystemExit(
+                f"{table}.{col}: copy {k - 1} reaches "
+                f"{(k - 1) * off + mx} >= budget {budget} "
+                f"(SUPPLIER_OFFSET collision) — K={k} is too large for "
+                f"this offset table"
+            )
+
 
 def scaled_copy(df, table: str, i: int):
     out = df
@@ -104,6 +137,7 @@ def main() -> None:
         )
     for t in OFFSETS:
         base = spark.read.parquet(f"{SRC_DIR}/{t}.parquet")
+        check_budgets(base, t, k)
         copies = scaled_copy(base, t, 0)
         for i in range(1, k):
             copies = copies.unionByName(scaled_copy(base, t, i))

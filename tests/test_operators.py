@@ -461,3 +461,19 @@ def test_spmv_salted_join_identical(spark):
     pre = salt_edges(g, n_salts=4)
     cached = {r["v"]: r["val"] for r in spmv_salted_join(pre, vec, n_salts=4).collect()}
     assert plain == fresh == cached and plain
+    # a pre-salted graph carries its replication factor: a MISMATCHED
+    # n_salts at the call site (here the default 8 vs the pre-salt 4)
+    # must NOT silently drop the edges whose _salt >= n_salts — the
+    # recorded salt_count wins
+    assert pre.salt_count == 4
+    dflt = {r["v"]: r["val"] for r in spmv_salted_join(pre, vec).collect()}
+    assert dflt == plain
+    # a hand-salted graph without the recorded factor is refused rather
+    # than risk silent mass loss
+    import pytest as _pytest
+
+    from dataclasses import replace as dc_replace
+
+    bare = dc_replace(pre, salt_count=None)
+    with _pytest.raises(ValueError, match="salt_count"):
+        spmv_salted_join(bare, vec, n_salts=8)

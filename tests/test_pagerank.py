@@ -162,3 +162,28 @@ def test_pagerank_norm_validation(spark):
     g = FX.graph(spark, FX.SEVEN)
     with pytest.raises(ValueError):
         pagerank(spark, g, norm="l2")
+
+
+def test_pagerank_frees_only_its_own_checkpoints(spark):
+    """The per-iteration checkpoint sweep must not unpersist RDDs OTHER
+    code persisted mid-loop (Spark supports concurrent driver jobs on
+    one session): only pagerank's own superseded snapshots are freed."""
+    from combblas_spark.algos.pagerank import _checkpoint_rdd_id
+
+    spark.catalog.clearCache()
+    # a "foreign" checkpoint, as another driver thread would hold
+    foreign = spark.range(100).toDF("v").localCheckpoint(eager=True)
+    fid = _checkpoint_rdd_id(foreign)
+    assert fid is not None
+
+    res = pagerank(spark, FX.graph(spark, FX.NINE), tol=1e-6)
+    assert res.iterations > 2
+
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    live = {int(k) for k in jmap.keySet().toArray()}
+    # the foreign checkpoint survived the sweep and is still usable
+    assert fid in live
+    assert foreign.count() == 100
+    # superseded rank snapshots were freed: at most the final checkpoint
+    # plus the loop-invariant caches remain, NOT one RDD per iteration
+    assert len(live) < res.iterations

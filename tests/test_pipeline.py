@@ -281,11 +281,12 @@ def test_minhash_verify_modes_agree(spark, docs):
 def test_auto_max_df_formula(spark):
     from combblas_spark.pipeline.dedup import auto_max_df
 
-    assert auto_max_df(0) == 1_000
-    assert auto_max_df(10) == 1_000          # floor dominates small corpora
-    assert auto_max_df(1_000_000) == 2_000   # 2 * sqrt(1e6)
-    assert auto_max_df(10**12) == 2_000_000  # grows as 2*sqrt(n)
-    assert auto_max_df(10**12) < 10**12      # always subquadratic join bound
+    assert auto_max_df(0) == 10_000
+    assert auto_max_df(10) == 10_000          # floor = the historical
+    assert auto_max_df(1_000_000) == 10_000   # literal default — never
+    assert auto_max_df(25_000_000) == 10_000  # TIGHTER than before
+    assert auto_max_df(10**12) == 2_000_000   # grows as 2*sqrt(n)
+    assert auto_max_df(10**12) < 10**12       # subquadratic join bound
 
 
 def test_ngram_max_df_envelope(spark):
@@ -312,7 +313,15 @@ def test_ngram_max_df_envelope(spark):
     assert env["dropped_postings"] == 18     # 3 grams x df 6
     assert env["total_postings"] == 18 + 8   # plus 4 grams per unique doc
     assert 0 < env["dropped_mass"] < 1
-    # auto mode resolves the cap from corpus size (floor: 1000 > any df
+    # max_df=None means NO cap in the envelope too: an uncapped run's
+    # envelope must report zero dropped mass, not resolve to the auto
+    # cap and claim drops the exact run never made
+    env_none = ngram_max_df_envelope(d, n=3, max_df=None).collect()[0]
+    assert env_none["max_df"] is None
+    assert env_none["dropped_postings"] == 0
+    assert env_none["dropped_mass"] == 0.0
+    assert env_none["n_stop_grams"] == 0
+    # auto mode resolves the cap from corpus size (floor: 10000 > any df
     # here, so nothing drops and the pair set is exact)
     auto_pairs = {
         (r["a"], r["b"]) for r in ngram_jaccard_pairs(d, n=3, threshold=0.9).collect()
