@@ -1562,6 +1562,23 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk_brute(emb, queries, k=ANN_K)
 
 
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-Flat ANN in exact mode: the coarse k-means inverted lists
+    PARTITION the corpus, so probing every list (nprobe = n_clusters)
+    short-lists every vector and the re-rank is byte-identical to the
+    brute top-k — COSINE_TOPK_SQL gates the whole index/probe/re-rank
+    path regardless of what the quantizer learned.  Recall at
+    nprobe < n_clusters is pytest-gated (tests/test_pipeline.py)."""
+    from combblas_spark.pipeline.ivf import ivf_topk
+    from combblas_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < ANN_NQ)
+    return ivf_topk(
+        emb, queries, k=ANN_K, n_clusters=8, nprobe=8, kmeans_iters=2
+    )
+
+
 def q_embed_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via the block-grid matmul
     join: exact (recall 1.0, same oracle), but candidate pairs never
@@ -1991,6 +2008,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": q_fingerprint,
         "token_stats": q_token_stats,
         "cosine_topk5": q_cosine_topk,
+        "ivf_topk5": q_ivf_topk,
         "embed_pairs": q_embed_pairs,
         "minhash_lsh": q_minhash_lsh,
         "simhash64": q_simhash,
@@ -2041,6 +2059,7 @@ def oracle_sql() -> dict[str, str]:
         "fingerprint": FINGERPRINT_SQL,
         "token_stats": TOKEN_STATS_SQL,
         "cosine_topk5": COSINE_TOPK_SQL,
+        "ivf_topk5": COSINE_TOPK_SQL,
         "embed_pairs": EMBED_PAIRS_SQL,
         "matching3": _matching_sql(MATCH_ROUNDS),
         "matching_max": _matching_max_sql(),

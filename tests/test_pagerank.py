@@ -176,14 +176,22 @@ def test_pagerank_frees_only_its_own_checkpoints(spark):
     fid = _checkpoint_rdd_id(foreign)
     assert fid is not None
 
+    def live_ids() -> set[int]:
+        jmap = spark.sparkContext._jsc.getPersistentRDDs()
+        return {int(k) for k in jmap.keySet().toArray()}
+
+    # earlier tests in the session may hold their own checkpoints
+    # (clearCache() only drops catalog-cached plans) — count only what
+    # THIS pagerank call adds, which is the property under test
+    before = live_ids()
+
     res = pagerank(spark, FX.graph(spark, FX.NINE), tol=1e-6)
     assert res.iterations > 2
 
-    jmap = spark.sparkContext._jsc.getPersistentRDDs()
-    live = {int(k) for k in jmap.keySet().toArray()}
+    live = live_ids()
     # the foreign checkpoint survived the sweep and is still usable
     assert fid in live
     assert foreign.count() == 100
     # superseded rank snapshots were freed: at most the final checkpoint
     # plus the loop-invariant caches remain, NOT one RDD per iteration
-    assert len(live) < res.iterations
+    assert len(live - before) < res.iterations
