@@ -16,7 +16,9 @@ real 100 TB run.
 Writes BENCH_SCALE_CURVE.json at the repo root.
 
 Env knobs: CURVE_K (10), CURVE_DIR (/dev/shm/combblas-sfscale10),
-CURVE_CPUS (32), CURVE_SHUFFLE (32), FLAG_SLACK (1.25).
+CURVE_CPUS (32), CURVE_SHUFFLE (32), FLAG_SLACK (1.25),
+CURVE_OUT (BENCH_SCALE_CURVE.json — write elsewhere to trial-run
+without clobbering the recorded artifact).
 """
 
 from __future__ import annotations
@@ -42,6 +44,16 @@ def run_bench(sf_dir: str, cpus: int, shuffle: int) -> dict:
     return json.loads(line)
 
 
+def read_steal() -> int:
+    """Cumulative host-steal jiffies — this VM's shared host delivers
+    steal in multi-minute bursts (BASELINE.md, round-5 loop notes), so
+    the artifact records the per-sweep delta: a curve taken inside a
+    burst shows inflated walls at BOTH sizes and must not be read as a
+    plan property."""
+    with open("/proc/stat") as f:
+        return int(f.readline().split()[8])
+
+
 def main() -> None:
     k = int(os.environ.get("CURVE_K", "10"))
     big_dir = os.environ.get("CURVE_DIR", "/dev/shm/combblas-sfscale10")
@@ -57,8 +69,11 @@ def main() -> None:
             env=dict(os.environ, SPARK_GRAFT_CPUS=str(cpus)),
         )
 
+    s0 = read_steal()
     small = run_bench("/root/testdata/sf0.1", cpus, shuffle)
+    s1 = read_steal()
     big = run_bench(big_dir, cpus, shuffle)
+    s2 = read_steal()
 
     curve = {}
     for q, t1 in small["queries"].items():
@@ -97,8 +112,13 @@ def main() -> None:
         },
         "per_query": curve,
         "flagged_superlinear": flagged,
+        "steal_sec": {
+            "sf0.1_sweep": round((s1 - s0) / os.sysconf("SC_CLK_TCK"), 1),
+            f"sf{k}x_sweep": round((s2 - s1) / os.sysconf("SC_CLK_TCK"), 1),
+        },
     }
-    with open(os.path.join(REPO, "BENCH_SCALE_CURVE.json"), "w") as f:
+    out_name = os.environ.get("CURVE_OUT", "BENCH_SCALE_CURVE.json")
+    with open(os.path.join(REPO, out_name), "w") as f:
         json.dump(result, f, indent=2)
     print(json.dumps(result))
 
