@@ -376,6 +376,80 @@ FROM t
 """
 
 
+DEDUP_CC_ROUNDS = 6  # pair-graph clusters are tiny at sf0.01; the FastSV-style
+# unroll (min-label hook + pointer jump) converges in ≤ log2(diameter)+1 rounds
+
+
+def _dedup_survivors_sql(rounds: int = DEDUP_CC_ROUNDS) -> str:
+    """Near-dup survivorship oracle: n-gram Jaccard pairs (the exact
+    NGRAM_JACCARD_SQL formulation) → transitive closure via the same
+    hook+shortcut unroll _cc_sql uses → highest-quality survivor per
+    cluster (quality = the green `quality` oracle's formula)."""
+    from combblas_spark.pipeline.text import STOPWORDS
+
+    sw = _sql_list(STOPWORDS["en"])
+    parts = [
+        f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+grams AS MATERIALIZED (
+  SELECT DISTINCT doc_id, list_aggregate(t[i:i+{JACCARD_N-1}], 'string_agg', ' ') AS gram
+  FROM toks, UNNEST(range(1, len(t) - {JACCARD_N - 2})) AS u(i)
+),
+sz AS MATERIALIZED (SELECT doc_id, count(*) AS sz FROM grams GROUP BY doc_id),
+inter AS MATERIALIZED (
+  SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS inter
+  FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+pairs AS MATERIALIZED (
+  SELECT a, b
+  FROM inter JOIN sz sa ON sa.doc_id = inter.a JOIN sz sb ON sb.doc_id = inter.b
+  WHERE inter.inter / (sa.sz + sb.sz - inter.inter) >= {JACCARD_T}
+),
+sedges AS MATERIALIZED (
+  SELECT a AS src, b AS dst FROM pairs UNION SELECT b AS src, a AS dst FROM pairs
+),
+j0 AS MATERIALIZED (SELECT DISTINCT src AS v, src AS comp FROM sedges)"""
+    ]
+    for k in range(1, rounds + 1):
+        prev = f"j{k-1}"
+        parts.append(
+            f""",
+h{k} AS MATERIALIZED (
+  SELECT l.v, least(l.comp, coalesce(nm.nmin, l.comp)) AS comp
+  FROM {prev} l LEFT JOIN (
+    SELECT e.dst AS v, min(p.comp) AS nmin
+    FROM sedges e JOIN {prev} p ON e.src = p.v
+    GROUP BY e.dst
+  ) nm USING (v)
+),
+j{k} AS MATERIALIZED (
+  SELECT a.v, coalesce(b.comp, a.comp) AS comp
+  FROM h{k} a LEFT JOIN h{k} b ON a.comp = b.v
+)"""
+        )
+    parts.append(
+        f""",
+q AS MATERIALIZED (
+  SELECT doc_id,
+    round(
+      (CASE WHEN length(text) BETWEEN 50 AND 10000 THEN 0.25 ELSE 0.0 END)
+      + least(len(list_filter(t, x -> list_contains({sw}, x))) / len(t) * 2.5, 0.25)
+      + least(len(list_distinct(t)) / len(t), 0.5), 6) AS quality
+  FROM (SELECT doc_id, text, string_split(text, ' ') AS t FROM documents)
+),
+lab AS (
+  SELECT d.doc_id, coalesce(cc.comp, d.doc_id) AS cluster
+  FROM documents d LEFT JOIN j{rounds} cc ON cc.v = d.doc_id
+)
+SELECT lab.doc_id AS doc_id, cluster, quality,
+  (ROW_NUMBER() OVER (PARTITION BY cluster ORDER BY quality DESC, lab.doc_id ASC) = 1) AS keep
+FROM lab JOIN q ON q.doc_id = lab.doc_id
+"""
+    )
+    return "\n".join(parts)
+
+
 FINGERPRINT_SQL = """
 SELECT doc_id,
        md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
@@ -1529,6 +1603,14 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(_docs(spark, sf_dir), n=JACCARD_N, threshold=JACCARD_T)
 
 
+def q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from combblas_spark.pipeline.dedup import dedup_survivors, ngram_jaccard_pairs
+
+    docs = _docs(spark, sf_dir)
+    pairs = ngram_jaccard_pairs(docs, n=JACCARD_N, threshold=JACCARD_T)
+    return dedup_survivors(spark, docs, pairs)
+
+
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     from combblas_spark.pipeline.text import language_id
 
@@ -2003,6 +2085,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spgemm_rows": q_spgemm,
         "masked_colsums": q_masked_colsums,
         "ngram_jaccard": q_ngram_jaccard,
+        "dedup_survivors": q_dedup_survivors,
         "lang_id": q_lang_id,
         "quality": q_quality,
         "fingerprint": q_fingerprint,
@@ -2054,6 +2137,7 @@ def oracle_sql() -> dict[str, str]:
         "spgemm_rows": SPGEMM_SQL,
         "masked_colsums": MASKED_COLSUMS_SQL,
         "ngram_jaccard": NGRAM_JACCARD_SQL,
+        "dedup_survivors": _dedup_survivors_sql(),
         "lang_id": _lang_id_sql(),
         "quality": _quality_sql(),
         "fingerprint": FINGERPRINT_SQL,

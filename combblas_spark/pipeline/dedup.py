@@ -28,7 +28,7 @@ from __future__ import annotations
 
 import math
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -172,6 +172,57 @@ def ngram_jaccard_pairs(
     out = out.localCheckpoint(eager=True)
     grams.unpersist(False)
     return out
+
+
+def dedup_survivors(
+    spark,
+    docs: DataFrame,
+    pairs: DataFrame,
+    quality: DataFrame | None = None,
+    n_partitions: int = 32,
+) -> DataFrame:
+    """Near-dup survivorship: (doc_id, cluster, quality, keep).
+
+    The step a training-data pipeline runs AFTER pair finding: take the
+    near-dup pairs (from any finder — n-gram Jaccard, MinHash+LSH,
+    SimHash), close them transitively (connected components over the
+    pair graph, so A~B~C collapses even when A~C was never emitted as a
+    pair), assign every document its cluster (singletons cluster with
+    themselves; ``cluster`` = min doc_id in the component), and keep
+    exactly ONE survivor per cluster: highest quality score, ties to
+    the lowest doc_id.  ``keep = false`` rows are the drop list.
+
+    Scale shape: the pair graph holds only near-dup members (≪ corpus),
+    the closure is the gated FastSV kernel (O(log n) supersteps), and
+    survivor selection is one window over ``cluster`` — no all-pairs
+    stage, no driver loop over clusters.
+    """
+    from ..algos.components import connected_components
+    from ..graph import Graph
+    from .text import quality_score
+
+    if quality is None:
+        quality = quality_score(docs).select("doc_id", "quality")
+    g = Graph.from_edge_list(
+        pairs.select("a", "b"), src="a", dst="b", n_partitions=n_partitions
+    )
+    comp = connected_components(spark, g).withColumnRenamed("v", "doc_id")
+    labeled = (
+        docs.select("doc_id")
+        .join(comp, "doc_id", "left")
+        .select(
+            "doc_id", F.coalesce("comp", F.col("doc_id")).alias("cluster")
+        )
+    )
+    w = Window.partitionBy("cluster").orderBy(
+        F.desc("quality"), F.asc("doc_id")
+    )
+    return labeled.join(quality, "doc_id").select(
+        "doc_id",
+        "cluster",
+        "quality",
+        (F.row_number().over(w) == 1).alias("keep"),
+    )
 
 
 # --------------------------------------------------------------------------

@@ -383,3 +383,42 @@ def test_ngram_max_df_envelope(spark):
         (r["a"], r["b"]) for r in ngram_jaccard_pairs(d, n=3, threshold=0.9).collect()
     }
     assert auto_pairs == uncapped
+
+
+def test_dedup_survivors(spark):
+    """Survivorship invariants: transitive closure (A~B, B~C collapse
+    even without an A~C pair), exactly one keep per cluster, survivor =
+    highest quality (ties to lowest doc_id), singletons kept."""
+    from combblas_spark.pipeline.dedup import dedup_survivors
+
+    long_pad = " ".join(f"w{i}" for i in range(20))
+    docs = spark.createDataFrame(
+        [
+            # cluster {1,2,3} via chain pairs; doc 2 is the longest /
+            # highest-quality member (length band bonus)
+            (1, "the quick brown fox"),
+            (2, "the quick brown fox jumps over a lazy dog " + long_pad),
+            (3, "quick brown fox jumps"),
+            # singleton
+            (4, "completely unrelated text body"),
+            # cluster {5,6}: identical quality -> tie broken to min id
+            (5, "same same same"),
+            (6, "same same same"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6)], "a long, b long"
+    )
+    rows = {r["doc_id"]: r for r in dedup_survivors(spark, docs, pairs).collect()}
+    assert len(rows) == 6
+    # transitive closure: 1,2,3 share a cluster (min id = 1)
+    assert rows[1]["cluster"] == rows[2]["cluster"] == rows[3]["cluster"] == 1
+    assert rows[4]["cluster"] == 4 and rows[4]["keep"]  # singleton keeps itself
+    assert rows[5]["cluster"] == rows[6]["cluster"] == 5
+    # exactly one survivor per cluster
+    kept = [d for d, r in rows.items() if r["keep"]]
+    assert sorted(kept) == [2, 4, 5]  # 2: best quality; 5: tie -> min id
+    # the survivor's quality is the cluster max
+    assert rows[2]["quality"] == max(rows[d]["quality"] for d in (1, 2, 3))
+    assert rows[5]["quality"] == rows[6]["quality"]
