@@ -450,6 +450,24 @@ FROM lab JOIN q ON q.doc_id = lab.doc_id
     return "\n".join(parts)
 
 
+def _doc_split_sql() -> str:
+    from combblas_spark.pipeline.text import split_bounds
+
+    b = split_bounds((0.9, 0.05, 0.05))
+    return f"""
+WITH h AS (
+  SELECT doc_id, substr(md5('split-v1' || CAST(doc_id AS VARCHAR)), 1, 8) AS h32
+  FROM documents
+)
+SELECT doc_id, h32,
+  CASE WHEN h32 < '{b[0]}' THEN 'train'
+       WHEN h32 < '{b[1]}' THEN 'valid'
+       WHEN h32 < '{b[2]}' THEN 'test'
+       ELSE 'test' END AS split
+FROM h
+"""
+
+
 FINGERPRINT_SQL = """
 SELECT doc_id,
        md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
@@ -1611,6 +1629,12 @@ def q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_survivors(spark, docs, pairs)
 
 
+def q_doc_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from combblas_spark.pipeline.text import split_assign
+
+    return split_assign(_docs(spark, sf_dir))
+
+
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     from combblas_spark.pipeline.text import language_id
 
@@ -2086,6 +2110,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "masked_colsums": q_masked_colsums,
         "ngram_jaccard": q_ngram_jaccard,
         "dedup_survivors": q_dedup_survivors,
+        "doc_split": q_doc_split,
         "lang_id": q_lang_id,
         "quality": q_quality,
         "fingerprint": q_fingerprint,
@@ -2138,6 +2163,7 @@ def oracle_sql() -> dict[str, str]:
         "masked_colsums": MASKED_COLSUMS_SQL,
         "ngram_jaccard": NGRAM_JACCARD_SQL,
         "dedup_survivors": _dedup_survivors_sql(),
+        "doc_split": _doc_split_sql(),
         "lang_id": _lang_id_sql(),
         "quality": _quality_sql(),
         "fingerprint": FINGERPRINT_SQL,

@@ -102,3 +102,47 @@ def fingerprint(docs: DataFrame) -> DataFrame:
         )
     )
     return docs.select("doc_id", F.md5(norm.cast("binary")).alias("fp"))
+
+
+def split_bounds(fractions: tuple[float, ...]) -> list[str]:
+    """Cumulative fractions → fixed 8-hex-digit upper bounds on the
+    32-bit hash prefix.  Shared by the Spark expression and the SQL
+    oracle so both sides compare against byte-identical literals."""
+    bounds, acc = [], 0.0
+    for frac in fractions:
+        acc += frac
+        bounds.append(format(min(int(acc * 2**32), 2**32 - 1), "08x"))
+    return bounds
+
+
+def split_assign(
+    docs: DataFrame,
+    fractions: tuple[float, ...] = (0.9, 0.05, 0.05),
+    names: tuple[str, ...] = ("train", "valid", "test"),
+    salt: str = "split-v1",
+) -> DataFrame:
+    """(doc_id, h32, split) — deterministic held-out split assignment.
+
+    Membership is a pure column expression over md5(salt || doc_id):
+    stable across runs, clusters, and engine versions, decided per row
+    with zero shuffle (the standard reproducible train/valid/test
+    protocol for corpus work — sampling by mutable position or RNG
+    state would silently re-deal the split on every repartition).
+    Fractions map to fixed 32-bit hex prefix ranges via
+    :func:`split_bounds`; changing ``salt`` resamples everything.
+    """
+    if len(fractions) != len(names):
+        raise ValueError("fractions and names must align")
+    h = F.substring(
+        F.md5(
+            F.concat(F.lit(salt), F.col("doc_id").cast("string")).cast("binary")
+        ),
+        1,
+        8,
+    )
+    case = None
+    for bound, name in zip(split_bounds(fractions), names):
+        cond = h < F.lit(bound)
+        case = F.when(cond, name) if case is None else case.when(cond, name)
+    case = case.otherwise(names[-1])
+    return docs.select("doc_id", h.alias("h32"), case.alias("split"))

@@ -422,3 +422,32 @@ def test_dedup_survivors(spark):
     # the survivor's quality is the cluster max
     assert rows[2]["quality"] == max(rows[d]["quality"] for d in (1, 2, 3))
     assert rows[5]["quality"] == rows[6]["quality"]
+
+
+def test_split_assign(spark):
+    """Deterministic held-out split: stable across runs and
+    repartitioning, fraction-proportional, salt-keyed."""
+    from combblas_spark.pipeline.text import split_assign, split_bounds
+
+    docs = spark.range(2000).select(
+        F.col("id").alias("doc_id"), F.lit("x").alias("text")
+    )
+    a = {r["doc_id"]: r["split"] for r in split_assign(docs).collect()}
+    b = {
+        r["doc_id"]: r["split"]
+        for r in split_assign(docs.repartition(7)).collect()
+    }
+    assert a == b  # membership survives any repartition
+    n = len(a)
+    frac_train = sum(1 for s in a.values() if s == "train") / n
+    frac_valid = sum(1 for s in a.values() if s == "valid") / n
+    assert abs(frac_train - 0.9) < 0.03 and abs(frac_valid - 0.05) < 0.02
+    resampled = {
+        r["doc_id"]: r["split"]
+        for r in split_assign(docs, salt="split-v2").collect()
+    }
+    assert resampled != a  # salt re-deals
+    # bounds are cumulative and clamped
+    assert split_bounds((0.9, 0.05, 0.05)) == ["e6666666", "f3333333", "ffffffff"]
+    with pytest.raises(ValueError):
+        split_assign(docs, fractions=(0.5, 0.5), names=("a", "b", "c"))
