@@ -468,6 +468,33 @@ FROM h
 """
 
 
+def _budget_select_sql() -> str:
+    """Oracle for the bucketed budget_select: the plain global prefix
+    sum over (quality DESC, doc_id ASC) — DuckDB can afford the naive
+    window at oracle scale, and semantic equality with the two-level
+    bucket decomposition is exactly what the gate should prove."""
+    from combblas_spark.pipeline.text import STOPWORDS
+
+    sw = _sql_list(STOPWORDS["en"])
+    return f"""
+WITH q AS (
+  SELECT doc_id, len(t) AS tokens,
+    round(
+      (CASE WHEN length(text) BETWEEN 50 AND 10000 THEN 0.25 ELSE 0.0 END)
+      + least(len(list_filter(t, x -> list_contains({sw}, x))) / len(t) * 2.5, 0.25)
+      + least(len(list_distinct(t)) / len(t), 0.5), 6) AS quality
+  FROM (SELECT doc_id, text, string_split(text, ' ') AS t FROM documents)
+),
+r AS (
+  SELECT doc_id, quality, tokens,
+    sum(tokens) OVER (ORDER BY quality DESC, doc_id ASC
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM q
+)
+SELECT doc_id, quality, tokens, (cum <= {BUDGET_TOKENS}) AS keep FROM r
+"""
+
+
 FINGERPRINT_SQL = """
 SELECT doc_id,
        md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
@@ -1635,6 +1662,16 @@ def q_doc_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return split_assign(_docs(spark, sf_dir))
 
 
+BUDGET_TOKENS = 15_000  # ~55% of the sf0.01 corpus: exercises full buckets,
+# the boundary bucket, and dropped buckets all at once
+
+
+def q_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from combblas_spark.pipeline.text import budget_select
+
+    return budget_select(_docs(spark, sf_dir), BUDGET_TOKENS)
+
+
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     from combblas_spark.pipeline.text import language_id
 
@@ -2111,6 +2148,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "dedup_survivors": q_dedup_survivors,
         "doc_split": q_doc_split,
+        "budget_select": q_budget_select,
         "lang_id": q_lang_id,
         "quality": q_quality,
         "fingerprint": q_fingerprint,
@@ -2164,6 +2202,7 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard": NGRAM_JACCARD_SQL,
         "dedup_survivors": _dedup_survivors_sql(),
         "doc_split": _doc_split_sql(),
+        "budget_select": _budget_select_sql(),
         "lang_id": _lang_id_sql(),
         "quality": _quality_sql(),
         "fingerprint": FINGERPRINT_SQL,

@@ -146,3 +146,90 @@ def split_assign(
         case = F.when(cond, name) if case is None else case.when(cond, name)
     case = case.otherwise(names[-1])
     return docs.select("doc_id", h.alias("h32"), case.alias("split"))
+
+
+def budget_select(
+    docs: DataFrame,
+    budget_tokens: int,
+    quality: DataFrame | None = None,
+    block_bits: int = 16,
+) -> DataFrame:
+    """(doc_id, quality, tokens, keep) — greedy best-quality-first
+    corpus selection under a token budget: rank documents by
+    (quality desc, doc_id asc) and keep while the running token total
+    stays ≤ ``budget_tokens`` (the standard "best N tokens" curation
+    step before pretraining).
+
+    Scale shape: the global prefix sum is NEVER computed with a
+    corpus-sized window.  Level 1 aggregates to quality buckets (the
+    1e-6 rounding grid bounds distinct qualities at ≤ 10^6 rows
+    regardless of corpus size) and windows over THAT; whole buckets are
+    kept or dropped by their bucket-level prefix.  At most ONE boundary
+    bucket needs intra-bucket order — level 2 re-applies the same trick
+    inside it on doc_id blocks (``doc_id >> block_bits``, order-
+    preserving), so the only per-row window is partitioned by block
+    (≤ 2^block_bits rows each).  Caveat (documented, not hidden): a
+    degenerate corpus where one quality value holds ~everything makes
+    the level-2 block table large; the construction nests further
+    levels if that ever matters.
+    """
+    from pyspark.sql import Window
+
+    if quality is None:
+        quality = quality_score(docs).select("doc_id", "quality")
+    base = docs.select(
+        "doc_id", F.size(tokens_col("text")).cast("long").alias("tokens")
+    ).join(quality, "doc_id")
+
+    buckets = base.groupBy("quality").agg(F.sum("tokens").alias("btok"))
+    wq = Window.orderBy(F.desc("quality")).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    buckets = buckets.select(
+        "quality",
+        "btok",
+        F.coalesce(F.sum("btok").over(wq), F.lit(0)).alias("cum_before"),
+    )
+    full = buckets.filter(
+        F.col("cum_before") + F.col("btok") <= budget_tokens
+    ).select("quality", F.lit(True).alias("keep_full"))
+    boundary = buckets.filter(
+        (F.col("cum_before") < budget_tokens)
+        & (F.col("cum_before") + F.col("btok") > budget_tokens)
+    ).select(
+        "quality", (F.lit(budget_tokens) - F.col("cum_before")).alias("remain")
+    )
+
+    bdocs = base.join(F.broadcast(boundary), "quality").withColumn(
+        "blk", F.shiftright("doc_id", block_bits)
+    )
+    bblocks = bdocs.groupBy("quality", "blk").agg(F.sum("tokens").alias("blktok"))
+    wb = Window.partitionBy("quality").orderBy("blk").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    bblocks = bblocks.select(
+        "quality",
+        "blk",
+        F.coalesce(F.sum("blktok").over(wb), F.lit(0)).alias("blk_before"),
+    )
+    wdoc = Window.partitionBy("quality", "blk").orderBy("doc_id")
+    bkeep = (
+        bdocs.join(bblocks, ["quality", "blk"])
+        .withColumn("cum_in_blk", F.sum("tokens").over(wdoc))
+        .select(
+            "doc_id",
+            (
+                (F.col("blk_before") + F.col("cum_in_blk")) <= F.col("remain")
+            ).alias("keep_b"),
+        )
+    )
+    return (
+        base.join(full, "quality", "left")
+        .join(bkeep, "doc_id", "left")
+        .select(
+            "doc_id",
+            "quality",
+            "tokens",
+            F.coalesce("keep_full", "keep_b", F.lit(False)).alias("keep"),
+        )
+    )

@@ -451,3 +451,44 @@ def test_split_assign(spark):
     assert split_bounds((0.9, 0.05, 0.05)) == ["e6666666", "f3333333", "ffffffff"]
     with pytest.raises(ValueError):
         split_assign(docs, fractions=(0.5, 0.5), names=("a", "b", "c"))
+
+
+def test_budget_select(spark):
+    """The two-level bucket/block decomposition must equal the naive
+    greedy prefix rule: order by (quality desc, doc_id), keep while
+    running tokens <= budget.  block_bits=2 forces multi-block boundary
+    buckets; repeated texts force quality ties inside one bucket."""
+    from combblas_spark.pipeline.text import budget_select, quality_score
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog every day",
+        "a b c d e f g h i j k l m n o p",
+        "same same same same same",
+    ]
+    rows = [(i, texts[i % 3]) for i in range(60)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    got = {
+        r["doc_id"]: r
+        for r in budget_select(docs, 300, block_bits=2).collect()
+    }
+    # naive reference on the same quality/token values
+    naive = sorted(
+        ((r["quality"], r["doc_id"]) for r in got.values()),
+        key=lambda t: (-t[0], t[1]),
+    )
+    cum, expect_keep = 0, set()
+    for quality, doc_id in naive:
+        cum += got[doc_id]["tokens"]
+        if cum <= 300:
+            expect_keep.add(doc_id)
+    assert {d for d, r in got.items() if r["keep"]} == expect_keep
+    assert 0 < len(expect_keep) < 60  # non-vacuous boundary
+    # tokens/quality columns agree with quality_score / tokenization
+    q = {r["doc_id"]: r["quality"] for r in quality_score(docs).collect()}
+    assert all(got[d]["quality"] == q[d] for d in got)
+    # edges: zero budget keeps nothing, huge budget keeps everything
+    none = budget_select(docs, 0).filter("keep").count()
+    assert none == 0
+    allk = budget_select(docs, 10**9).filter("NOT keep").count()
+    assert allk == 0
