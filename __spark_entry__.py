@@ -495,6 +495,27 @@ SELECT doc_id, quality, tokens, (cum <= {BUDGET_TOKENS}) AS keep FROM r
 """
 
 
+def _pack_seqs_sql() -> str:
+    """Oracle for the blocked pack_sequences: the naive global prefix
+    sum over doc_id order — affordable in DuckDB at oracle scale;
+    equality proves the two-level block decomposition."""
+    return f"""
+WITH t AS (
+  SELECT doc_id, len(string_split(text, ' ')) AS tokens FROM documents
+),
+p AS (
+  SELECT doc_id, tokens,
+    coalesce(sum(tokens) OVER (ORDER BY doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tok_start
+  FROM t
+)
+SELECT doc_id, tokens, tok_start,
+       tok_start // {SEQ_LEN} AS seq_first,
+       (tok_start + tokens - 1) // {SEQ_LEN} AS seq_last
+FROM p
+"""
+
+
 FINGERPRINT_SQL = """
 SELECT doc_id,
        md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
@@ -1672,6 +1693,15 @@ def q_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     return budget_select(_docs(spark, sf_dir), BUDGET_TOKENS)
 
 
+SEQ_LEN = 128  # tokens per packed training sequence at oracle scale
+
+
+def q_pack_seqs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from combblas_spark.pipeline.text import pack_sequences
+
+    return pack_sequences(_docs(spark, sf_dir), SEQ_LEN)
+
+
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     from combblas_spark.pipeline.text import language_id
 
@@ -2149,6 +2179,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_survivors": q_dedup_survivors,
         "doc_split": q_doc_split,
         "budget_select": q_budget_select,
+        "pack_seqs": q_pack_seqs,
         "lang_id": q_lang_id,
         "quality": q_quality,
         "fingerprint": q_fingerprint,
@@ -2203,6 +2234,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_survivors": _dedup_survivors_sql(),
         "doc_split": _doc_split_sql(),
         "budget_select": _budget_select_sql(),
+        "pack_seqs": _pack_seqs_sql(),
         "lang_id": _lang_id_sql(),
         "quality": _quality_sql(),
         "fingerprint": FINGERPRINT_SQL,

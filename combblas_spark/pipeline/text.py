@@ -148,6 +148,62 @@ def split_assign(
     return docs.select("doc_id", h.alias("h32"), case.alias("split"))
 
 
+def pack_sequences(
+    docs: DataFrame,
+    seq_len: int,
+    block_bits: int = 16,
+) -> DataFrame:
+    """(doc_id, tokens, tok_start, seq_first, seq_last) — training-
+    sequence packing: concatenate documents in doc_id order and cut the
+    token stream into fixed ``seq_len``-token blocks (the standard
+    concat-and-split packing used to build pretraining batches).  Each
+    document maps to its global token offset and the range of sequence
+    ids it lands in; a downstream writer groups by sequence id.
+
+    Scale shape: the global exclusive prefix sum over doc_id order is
+    computed with the same two-level block decomposition as
+    :func:`budget_select` — per-block token sums (``doc_id >>
+    block_bits``), ONE bounded window over the block table (n_docs /
+    2^block_bits rows), then a per-row window partitioned by block
+    (≤ 2^block_bits rows each).  No corpus-sized sort or window ever
+    exists; nest another block level if n_docs / 2^block_bits itself
+    outgrows a partition.
+    """
+    from pyspark.sql import Window
+
+    if seq_len <= 0:
+        raise ValueError("seq_len must be positive")
+    base = docs.select(
+        "doc_id",
+        F.size(tokens_col("text")).cast("long").alias("tokens"),
+        F.shiftright("doc_id", block_bits).alias("blk"),
+    )
+    blocks = base.groupBy("blk").agg(F.sum("tokens").alias("blktok"))
+    wb = Window.orderBy("blk").rowsBetween(Window.unboundedPreceding, -1)
+    blocks = blocks.select(
+        "blk", F.coalesce(F.sum("blktok").over(wb), F.lit(0)).alias("blk_before")
+    )
+    wdoc = Window.partitionBy("blk").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    return (
+        base.join(blocks, "blk")
+        .withColumn(
+            "tok_start",
+            F.col("blk_before") + F.coalesce(F.sum("tokens").over(wdoc), F.lit(0)),
+        )
+        .select(
+            "doc_id",
+            "tokens",
+            "tok_start",
+            F.floor(F.col("tok_start") / seq_len).alias("seq_first"),
+            F.floor((F.col("tok_start") + F.col("tokens") - 1) / seq_len).alias(
+                "seq_last"
+            ),
+        )
+    )
+
+
 def budget_select(
     docs: DataFrame,
     budget_tokens: int,

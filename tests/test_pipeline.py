@@ -453,6 +453,37 @@ def test_split_assign(spark):
         split_assign(docs, fractions=(0.5, 0.5), names=("a", "b", "c"))
 
 
+def test_pack_sequences(spark):
+    """Blocked packing must equal the naive concat-and-split rule:
+    exclusive prefix sum of tokens over doc_id order, sequence ids by
+    integer division.  block_bits=2 forces many blocks; sparse doc_ids
+    (gaps, empty blocks) exercise the block join."""
+    import pytest
+
+    from combblas_spark.pipeline.text import pack_sequences
+
+    rows = [(i * 7 % 97, "w " * (i % 13) + "w") for i in range(40)]
+    rows = [(d, t.strip()) for d, t in {d: t for d, t in rows}.items()]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r for r in pack_sequences(docs, 16, block_bits=2).collect()
+    }
+    cum = 0
+    for doc_id, text in sorted(rows):
+        tokens = len(text.split(" "))
+        r = got[doc_id]
+        assert (r["tokens"], r["tok_start"]) == (tokens, cum)
+        assert r["seq_first"] == cum // 16
+        assert r["seq_last"] == (cum + tokens - 1) // 16
+        cum += tokens
+    # packing is exhaustive: sequence ranges tile [0, total) contiguously
+    assert max(r["seq_last"] for r in got.values()) == (cum - 1) // 16
+    spans = [r for r in got.values() if r["seq_first"] != r["seq_last"]]
+    assert spans  # non-vacuous: some doc crosses a sequence boundary
+    with pytest.raises(ValueError):
+        pack_sequences(docs, 0)
+
+
 def test_budget_select(spark):
     """The two-level bucket/block decomposition must equal the naive
     greedy prefix rule: order by (quality desc, doc_id), keep while
