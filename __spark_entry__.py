@@ -1455,6 +1455,19 @@ edges AS MATERIALIZED (
 )"""
 
 
+def _hostrank_sql(n_iter: int) -> str:
+    """HostRank unroll over the pinned host-edge fixture: the Spark
+    side rolls the live crawl up to distinct host→host edges with the
+    JVM parse_url; the fixture holds the same rollup built from the
+    pure link rule + urllib host parsing (independent of parse_url),
+    so a green row certifies extraction, host parse, rollup, dictionary
+    round trip and the PageRank kernel.  The unroll template is
+    key-type-agnostic (no arithmetic on v), so host strings flow
+    through it unchanged."""
+    cte = WEBGRAPH_EDGES_CTE_TEMPLATE.format(path=_fixture("host_edges.parquet"))
+    return _pagerank_sql(n_iter, edges_cte=cte)
+
+
 def _webgraph_pagerank_sql(n_iter: int) -> str:
     """PageRank unroll over the pinned extracted-edge fixture: the
     Spark side runs the full live ingest (synthetic pages → Arrow-UDF
@@ -2127,6 +2140,22 @@ def q_mtx_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm.graph.out_degrees()
 
 
+def q_hostrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-level rank on the live ingest path: synthetic pages →
+    link extraction → host rollup (parse_url) → PageRank on the host
+    graph → ranks joined back to host names."""
+    from combblas_spark.algos.pagerank import pagerank_fixed
+    from combblas_spark.sources.pages import synth_pages
+    from combblas_spark.sources.webgraph import host_graph
+
+    pages = synth_pages(spark, 256, seed=42, n_partitions=4)
+    hg = host_graph(pages, n_partitions=8)
+    ranks = pagerank_fixed(spark, hg.graph, n_iter=PR_ITERS, alpha=ALPHA)
+    return ranks.join(hg.dictionary, ranks["v"] == hg.dictionary["id"]).select(
+        F.col("label").alias("v"), F.round("rank", 6).alias("rank")
+    )
+
+
 def q_webgraph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full oracle gate for the north-star ingest path — synthetic
     Common-Crawl-style pages → Arrow-UDF text/link extraction → url→id
@@ -2204,6 +2233,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_metrics": q_graph_metrics,
         "mtx_degrees": q_mtx_degrees,
         "webgraph_pagerank": q_webgraph_pagerank,
+        "hostrank": q_hostrank,
         "sessionize": q_sessionize,
         "moving_avg7": q_moving_avg,
         "cc_hist": q_cc_hist,
@@ -2265,5 +2295,6 @@ def oracle_sql() -> dict[str, str]:
         "simhash64": _simhash_sql(),
         "simhash_pairs": _simhash_pairs_sql(),
         "webgraph_pagerank": _webgraph_pagerank_sql(PR_ITERS),
+        "hostrank": _hostrank_sql(PR_ITERS),
         "media_features": _media_features_sql(),
     }

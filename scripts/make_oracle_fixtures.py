@@ -16,6 +16,9 @@ whenever /root/testdata or the generators change):
   synthetic crawl's link graph, built from the pure link rule
   (sources/pages.link_targets) + lexicographic url->id dictionary;
   oracles q_webgraph_pagerank's live extract->dictionary->graph path.
+* ``host_edges.parquet`` (src, dst, w) — the same crawl's DISTINCT
+  host→host edges (urllib-parsed hosts, self-host links dropped);
+  oracles q_hostrank's live parse_url rollup.
 * ``mis_priorities.parquet`` (v, pri) — seeded vertex priorities
   (pure-Python xxhash64 chain) for the sf0.01 link-graph vertex set;
   oracles q_mis's Luby rounds.
@@ -146,6 +149,35 @@ def make_webgraph_edges(n_pages: int = 256, seed: int = 42) -> None:
         os.path.join(OUT, "webgraph_edges.parquet"),
     )
     print(f"webgraph_edges: {len(src)} edges over {n_pages} pages")
+
+
+def make_host_edges(n_pages: int = 256, seed: int = 42) -> None:
+    """Distinct host→host edges of the 256-page crawl, hosts parsed
+    with urllib (independent of Spark's parse_url), self-host links
+    dropped — oracles q_hostrank's live rollup path."""
+    from urllib.parse import urlparse
+
+    from combblas_spark.sources.pages import link_targets, page_url
+
+    pairs: set[tuple[str, str]] = set()
+    for i in range(n_pages):
+        s = urlparse(page_url(i)).netloc
+        for t in link_targets(i, n_pages, seed):
+            d = urlparse(page_url(t)).netloc
+            if s != d:
+                pairs.add((s, d))
+    src, dst = zip(*sorted(pairs))
+    pq.write_table(
+        pa.table(
+            {
+                "src": pa.array(src, pa.string()),
+                "dst": pa.array(dst, pa.string()),
+                "w": pa.array([1.0] * len(src), pa.float64()),
+            }
+        ),
+        os.path.join(OUT, "host_edges.parquet"),
+    )
+    print(f"host_edges: {len(src)} distinct host pairs over {n_pages} pages")
 
 
 def make_mis_priorities(seed: int = 42) -> None:
@@ -433,6 +465,7 @@ if __name__ == "__main__":
     os.makedirs(OUT, exist_ok=True)
     _check_vec()
     make_webgraph_edges()
+    make_host_edges()
     make_mis_priorities()
     make_bfs_rand_priorities()
     make_minhash_sigs()

@@ -96,3 +96,24 @@ def test_end_to_end_pagerank_on_crawl(spark):
     total = res.ranks.agg(F.sum("rank")).collect()[0][0]
     assert res.delta <= 1e-6
     assert total == pytest.approx(1.0, abs=1e-6)
+
+
+def test_host_graph_rollup(spark, pages):
+    """Host rollup == the pure rule rolled up with urllib: distinct
+    host pairs, self-host links dropped, dictionary round trip."""
+    from urllib.parse import urlparse
+
+    from combblas_spark.sources.webgraph import host_graph
+
+    hg = host_graph(pages, n_partitions=4)
+    id_of = {r["label"]: r["id"] for r in hg.dictionary.collect()}
+    assert sorted(id_of.values()) == list(range(len(id_of)))
+    got = {(r["src"], r["dst"]) for r in hg.graph.edges.collect()}
+    want = set()
+    for s, d in expected_edges(N_PAGES, seed=42):
+        hs, hd = urlparse(page_url(s)).netloc, urlparse(page_url(d)).netloc
+        if hs != hd:
+            want.add((id_of[hs], id_of[hd]))
+    assert got == want
+    # dictionary universe == hosts that appear on some cross-host edge
+    assert set(id_of.values()) == {v for e in want for v in e}
