@@ -44,6 +44,9 @@ SSSP_ROUNDS = 4
 SPGEMM_MAX_SRC = 20
 JACCARD_N = 3
 JACCARD_T = 0.5
+CONTAM_N = 8       # contamination-screen shingle width
+CONTAM_T = 0.2     # contaminated iff ≥20% of a doc's grams hit the benchmark
+CONTAM_BENCH_MOD = 50  # benchmark set = docs with doc_id % 50 == 0
 ANN_K = 5
 ANN_NQ = 10
 
@@ -313,6 +316,27 @@ SELECT dst AS v, round(sum(w), 6) AS colsum
 FROM edges WHERE src % 2 = 1 GROUP BY dst
 """
 )
+
+CONTAMINATION_SQL = f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+grams AS MATERIALIZED (
+  SELECT DISTINCT doc_id, list_aggregate(t[i:i+{CONTAM_N-1}], 'string_agg', ' ') AS gram
+  FROM toks, UNNEST(range(1, len(t) - {CONTAM_N - 2})) AS u(i)
+),
+bench AS MATERIALIZED (
+  SELECT DISTINCT gram FROM grams WHERE doc_id % {CONTAM_BENCH_MOD} = 0
+),
+per AS (
+  SELECT g.doc_id, count(*) AS doc_grams, count(b.gram) AS hit_grams
+  FROM grams g LEFT JOIN bench b USING (gram)
+  GROUP BY g.doc_id
+)
+SELECT doc_id, doc_grams, hit_grams,
+       round(hit_grams / doc_grams, 6) AS contam_ratio,
+       (hit_grams / doc_grams) >= {CONTAM_T} AS contaminated
+FROM per
+"""
+
 
 NGRAM_JACCARD_SQL = f"""
 WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
@@ -1676,6 +1700,14 @@ def _docs(spark, sf_dir):
     return load_table(spark, sf_dir, "documents")
 
 
+def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from combblas_spark.pipeline.dedup import contamination_screen
+
+    docs = _docs(spark, sf_dir)
+    bench = docs.filter(F.col("doc_id") % CONTAM_BENCH_MOD == 0)
+    return contamination_screen(docs, bench, n=CONTAM_N, threshold=CONTAM_T)
+
+
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from combblas_spark.pipeline.dedup import ngram_jaccard_pairs
 
@@ -2205,6 +2237,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spgemm_rows": q_spgemm,
         "masked_colsums": q_masked_colsums,
         "ngram_jaccard": q_ngram_jaccard,
+        "contamination": q_contamination,
         "dedup_survivors": q_dedup_survivors,
         "doc_split": q_doc_split,
         "budget_select": q_budget_select,
@@ -2261,6 +2294,7 @@ def oracle_sql() -> dict[str, str]:
         "spgemm_rows": SPGEMM_SQL,
         "masked_colsums": MASKED_COLSUMS_SQL,
         "ngram_jaccard": NGRAM_JACCARD_SQL,
+        "contamination": CONTAMINATION_SQL,
         "dedup_survivors": _dedup_survivors_sql(),
         "doc_split": _doc_split_sql(),
         "budget_select": _budget_select_sql(),

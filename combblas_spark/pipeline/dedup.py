@@ -45,10 +45,15 @@ def word_ngrams(docs: DataFrame, n: int = 3, text_col: str = "text") -> DataFram
     Built from builtin transform/slice over the token array (JVM-side).
     """
     toks = F.split(F.col(text_col), " ", -1)
-    grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0))),
-        lambda i: F.array_join(F.slice(toks, i, n), " "),
-    )
+    # guard docs shorter than n: sequence(1, 0) DESCENDS and feeds
+    # slice a 0 start (runtime error) — emit no grams instead
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.array_join(F.slice(toks, i, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
     return docs.select(
         "doc_id", F.explode(F.array_distinct(grams)).alias("gram")
     )
@@ -113,6 +118,46 @@ def ngram_max_df_envelope(
         F.coalesce(F.count(F.when(over, F.lit(1))), F.lit(0)).alias(
             "n_stop_grams"
         ),
+    )
+
+
+def contamination_screen(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """(doc_id, doc_grams, hit_grams, contam_ratio, contaminated) —
+    benchmark-contamination screening: the fraction of each document's
+    distinct word ``n``-grams that also occur in the held-out benchmark
+    set (the GPT-3-style decontamination rule, applied before a corpus
+    is used for training).
+
+    Scale shape: the benchmark gram universe is tiny next to the corpus
+    (eval sets are fixed-size), so it is broadcast and the screen is ONE
+    semi-join-shaped pass over the corpus gram stream — the 100 TB side
+    never shuffles; the per-doc counts map-side combine.  Documents
+    shorter than ``n`` tokens yield no grams and are excluded (they
+    cannot carry an ``n``-gram of benchmark text by construction).
+    """
+    bench = word_ngrams(benchmark, n=n).select("gram").distinct()
+    grams = word_ngrams(docs, n=n)
+    hits = F.broadcast(bench).withColumn("hit", F.lit(1))
+    per_doc = (
+        grams.join(hits, "gram", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("doc_grams"),
+            F.coalesce(F.sum("hit"), F.lit(0)).alias("hit_grams"),
+        )
+    )
+    ratio = F.col("hit_grams") / F.col("doc_grams")
+    return per_doc.select(
+        "doc_id",
+        "doc_grams",
+        "hit_grams",
+        F.round(ratio, 6).alias("contam_ratio"),
+        (ratio >= threshold).alias("contaminated"),
     )
 
 

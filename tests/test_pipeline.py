@@ -523,3 +523,31 @@ def test_budget_select(spark):
     assert none == 0
     allk = budget_select(docs, 10**9).filter("NOT keep").count()
     assert allk == 0
+
+
+def test_contamination_screen(spark):
+    """Constructed case: one doc copies a benchmark sentence verbatim
+    (full hit), one embeds it inside fresh text (partial hit), one is
+    clean, one is shorter than n (excluded)."""
+    from combblas_spark.pipeline.dedup import contamination_screen
+
+    bench_text = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens
+    docs = spark.createDataFrame(
+        [
+            (0, bench_text),
+            (1, "pre one two " + bench_text + " post three four five six"),
+            (2, "totally unrelated words that never overlap anything here now"),
+            (3, "too short"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame([(100, bench_text)], "doc_id long, text string")
+    got = {
+        r["doc_id"]: r
+        for r in contamination_screen(docs, bench, n=8, threshold=0.2).collect()
+    }
+    assert set(got) == {0, 1, 2}  # doc 3 has no 8-grams
+    assert got[0]["contam_ratio"] == 1.0 and got[0]["contaminated"]
+    assert 0 < got[1]["hit_grams"] == 1  # exactly the verbatim 8-gram
+    assert got[1]["doc_grams"] == 9 and not got[1]["contaminated"]
+    assert got[2]["hit_grams"] == 0 and not got[2]["contaminated"]
