@@ -519,6 +519,28 @@ SELECT doc_id, quality, tokens, (cum <= {BUDGET_TOKENS}) AS keep FROM r
 """
 
 
+def _repetition_sql() -> str:
+    n = REP_N
+    return f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+ex AS MATERIALIZED (
+  SELECT doc_id, len(t) AS tokens,
+         list_aggregate(t[i:i+{n-1}], 'string_agg', ' ') AS gram
+  FROM toks, UNNEST(range(1, len(t) - {n - 2})) AS u(i)
+),
+pg AS (SELECT doc_id, tokens, gram, count(*) AS c FROM ex GROUP BY ALL),
+agg AS (
+  SELECT doc_id, tokens, CAST(sum(c) AS BIGINT) AS total_grams, count(*) AS distinct_grams,
+         max(c) AS top_c
+  FROM pg GROUP BY doc_id, tokens
+)
+SELECT doc_id, tokens, total_grams, distinct_grams,
+       round((total_grams - distinct_grams) / total_grams, 6) AS dup_gram_frac,
+       round(least(top_c * {n} / tokens, 1.0), 6) AS top_gram_frac
+FROM agg
+"""
+
+
 def _pack_seqs_sql() -> str:
     """Oracle for the blocked pack_sequences: the naive global prefix
     sum over doc_id order — affordable in DuckDB at oracle scale;
@@ -1738,6 +1760,15 @@ def q_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     return budget_select(_docs(spark, sf_dir), BUDGET_TOKENS)
 
 
+REP_N = 2  # repetition-stats shingle width
+
+
+def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from combblas_spark.pipeline.text import repetition_stats
+
+    return repetition_stats(_docs(spark, sf_dir), n=REP_N)
+
+
 SEQ_LEN = 128  # tokens per packed training sequence at oracle scale
 
 
@@ -2242,6 +2273,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_split": q_doc_split,
         "budget_select": q_budget_select,
         "pack_seqs": q_pack_seqs,
+        "repetition": q_repetition,
         "lang_id": q_lang_id,
         "quality": q_quality,
         "fingerprint": q_fingerprint,
@@ -2299,6 +2331,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_split": _doc_split_sql(),
         "budget_select": _budget_select_sql(),
         "pack_seqs": _pack_seqs_sql(),
+        "repetition": _repetition_sql(),
         "lang_id": _lang_id_sql(),
         "quality": _quality_sql(),
         "fingerprint": FINGERPRINT_SQL,

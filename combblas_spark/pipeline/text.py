@@ -148,6 +148,48 @@ def split_assign(
     return docs.select("doc_id", h.alias("h32"), case.alias("split"))
 
 
+def repetition_stats(docs: DataFrame, n: int = 2) -> DataFrame:
+    """(doc_id, tokens, total_grams, distinct_grams, dup_gram_frac,
+    top_gram_frac) — Gopher-style within-document repetition filters:
+    the fraction of word ``n``-grams that are repeats, and the fraction
+    of tokens covered by the single most frequent ``n``-gram (machine-
+    generated/boilerplate text scores high on both).
+
+    One explode → two-level aggregate with map-side combine; the
+    per-(doc, gram) counts never leave their partition un-combined.
+    Documents shorter than ``n`` tokens have no grams and are excluded.
+    """
+    toks = tokens_col("text")
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.array_join(F.slice(toks, i, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    ex = docs.select(
+        "doc_id", F.size(toks).cast("long").alias("tokens"), F.explode(grams).alias("gram")
+    )
+    per_gram = ex.groupBy("doc_id", "tokens", "gram").agg(F.count("*").alias("c"))
+    agg = per_gram.groupBy("doc_id", "tokens").agg(
+        F.sum("c").alias("total_grams"),
+        F.count("*").alias("distinct_grams"),
+        F.max("c").alias("top_c"),
+    )
+    return agg.select(
+        "doc_id",
+        "tokens",
+        "total_grams",
+        "distinct_grams",
+        F.round(
+            (F.col("total_grams") - F.col("distinct_grams")) / F.col("total_grams"), 6
+        ).alias("dup_gram_frac"),
+        F.round(
+            F.least(F.col("top_c") * n / F.col("tokens"), F.lit(1.0)), 6
+        ).alias("top_gram_frac"),
+    )
+
+
 def pack_sequences(
     docs: DataFrame,
     seq_len: int,

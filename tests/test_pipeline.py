@@ -551,3 +551,28 @@ def test_contamination_screen(spark):
     assert 0 < got[1]["hit_grams"] == 1  # exactly the verbatim 8-gram
     assert got[1]["doc_grams"] == 9 and not got[1]["contaminated"]
     assert got[2]["hit_grams"] == 0 and not got[2]["contaminated"]
+
+
+def test_repetition_stats(spark):
+    """Constructed cases: all-same doc (every 2-gram identical), a
+    half-repetitive doc, a no-repeat doc, and a 1-token doc (no grams)."""
+    from combblas_spark.pipeline.text import repetition_stats
+
+    docs = spark.createDataFrame(
+        [
+            (0, "spam spam spam spam spam spam"),  # 5 grams, all "spam spam"
+            (1, "a b a b a b c"),                  # 6 grams: a b ×3, b a ×2, b c
+            (2, "one two three four five"),        # 4 grams, all distinct
+            (3, "solo"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in repetition_stats(docs, n=2).collect()}
+    assert set(got) == {0, 1, 2}
+    assert got[0]["total_grams"] == 5 and got[0]["distinct_grams"] == 1
+    assert got[0]["dup_gram_frac"] == 0.8 and got[0]["top_gram_frac"] == 1.0
+    assert got[1]["distinct_grams"] == 3
+    assert got[1]["top_gram_frac"] == pytest.approx(round(3 * 2 / 7, 6))
+    assert got[2]["dup_gram_frac"] == 0.0 and got[2]["top_gram_frac"] == pytest.approx(
+        round(2 / 5, 6)
+    )
