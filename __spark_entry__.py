@@ -36,6 +36,8 @@ def _fixture(name: str) -> str:
 ALPHA = 0.85
 PR_ITERS = 5
 CC_ROUNDS = 8
+KCORE_K = 40       # non-trivial core at sf0.01: 449 of 1600 vertices survive
+KCORE_ROUNDS = 4   # oracle unroll depth; fixpoint at 2 rounds, extra rounds idempotent
 LP_ITERS = 2
 TOPK = 2
 BFS_SRC = 0
@@ -70,6 +72,29 @@ sedges AS MATERIALIZED (
     SELECT dst AS src, src AS dst FROM edges
   )
 )"""
+
+
+def _kcore_sql(k: int, rounds: int) -> str:
+    """Peel unroll: each round recomputes degrees on the surviving edge
+    set and drops deg < k vertices; idempotent past the fixpoint, so
+    ``rounds`` only needs to be ≥ the sf0.01 peel depth."""
+    parts = [
+        "WITH " + EDGES_CTE.strip() + ",",
+        SYM_EDGES_CTE.strip() + ",",
+        "e0 AS MATERIALIZED (SELECT src, dst FROM sedges)",
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f""",
+k{r} AS MATERIALIZED (
+  SELECT src AS v, count(*) AS deg FROM e{r-1} GROUP BY src HAVING count(*) >= {k}
+),
+e{r} AS MATERIALIZED (
+  SELECT e.src, e.dst FROM e{r-1} e JOIN k{r} a ON e.src = a.v JOIN k{r} b ON e.dst = b.v
+)"""
+        )
+    parts.append(f"\nSELECT v, deg FROM k{rounds}")
+    return "\n".join(parts)
 
 
 def _pagerank_sql(n_iter: int, edges_cte: str = EDGES_CTE) -> str:
@@ -1543,6 +1568,12 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks.select("v", F.round("rank", 6).alias("rank"))
 
 
+def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from combblas_spark.algos.kcore import kcore
+
+    return kcore(spark, _graph(spark, sf_dir), k=KCORE_K)
+
+
 def q_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     from combblas_spark.algos.components import connected_components
 
@@ -2251,6 +2282,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pagerank5": q_pagerank,
         "cc": q_cc,
+        "kcore": q_kcore,
         "cc_as": q_cc_as,
         "labelprop2": q_labelprop,
         "triangles": q_triangles,
@@ -2310,6 +2342,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "pagerank5": _pagerank_sql(PR_ITERS),
         "cc": _cc_sql(CC_ROUNDS),
+        "kcore": _kcore_sql(KCORE_K, KCORE_ROUNDS),
         "cc_as": _cc_sql(CC_ROUNDS),
         "labelprop2": _labelprop_sql(LP_ITERS),
         "triangles": TRIANGLES_SQL,

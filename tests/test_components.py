@@ -92,3 +92,20 @@ def test_chain_converges_in_log_supersteps(spark):
     labels = labels_dict(connected_components(spark, g, max_iter=25))
     assert set(labels.values()) == {0}
     assert len(labels) == 1000
+
+
+def test_kcore_cascading_peel(spark):
+    """K4 clique + a tail chain: with k=3 the chain peels away over
+    multiple cascading rounds (each removal exposes the next), and the
+    clique survives with within-core degree 3; k above the max degree
+    yields an empty core."""
+    from combblas_spark.algos.kcore import kcore
+
+    clique = [(a, b, 1.0) for a in (10, 11, 12, 13) for b in (10, 11, 12, 13) if a < b]
+    tail = [(13, 20, 1.0), (20, 21, 1.0), (21, 22, 1.0)]
+    g = FX.graph(spark, clique + tail)
+    got = {r["v"]: r["deg"] for r in kcore(spark, g, k=3).collect()}
+    assert got == {10: 3, 11: 3, 12: 3, 13: 3}
+    assert kcore(spark, g, k=5).count() == 0
+    with pytest.raises(ValueError):
+        kcore(spark, g, k=0)
