@@ -74,6 +74,45 @@ sedges AS MATERIALIZED (
 )"""
 
 
+def _hits_sql(n_iter: int) -> str:
+    """HITS unroll: alternating L1-normalized hub/authority updates on
+    the distinct edge set — the exact recursion of algos/hits.py."""
+    parts = [
+        "WITH " + EDGES_CTE.strip() + ",",
+        """dedges AS MATERIALIZED (SELECT DISTINCT src, dst FROM edges),
+verts AS MATERIALIZED (
+  SELECT DISTINCT v FROM (SELECT src AS v FROM dedges UNION ALL SELECT dst AS v FROM dedges)
+),
+h0 AS MATERIALIZED (SELECT v, 1.0 AS hub FROM verts)""",
+    ]
+    for k in range(1, n_iter + 1):
+        parts.append(
+            f""",
+ar{k} AS MATERIALIZED (
+  SELECT e.dst AS v, sum(h.hub) AS a
+  FROM dedges e JOIN h{k-1} h ON e.src = h.v GROUP BY e.dst
+),
+a{k} AS MATERIALIZED (
+  SELECT verts.v, coalesce(ar{k}.a, 0.0) / (SELECT sum(a) FROM ar{k}) AS auth
+  FROM verts LEFT JOIN ar{k} USING (v)
+),
+hr{k} AS MATERIALIZED (
+  SELECT e.src AS v, sum(a.auth) AS h
+  FROM dedges e JOIN a{k} a ON e.dst = a.v GROUP BY e.src
+),
+h{k} AS MATERIALIZED (
+  SELECT verts.v, coalesce(hr{k}.h, 0.0) / (SELECT sum(h) FROM hr{k}) AS hub
+  FROM verts LEFT JOIN hr{k} USING (v)
+)"""
+        )
+    parts.append(
+        f"""
+SELECT h.v, round(h.hub, 6) AS hub, round(a.auth, 6) AS auth
+FROM h{n_iter} h JOIN a{n_iter} a USING (v)"""
+    )
+    return "\n".join(parts)
+
+
 def _kcore_sql(k: int, rounds: int) -> str:
     """Peel unroll: each round recomputes degrees on the surviving edge
     set and drops deg < k vertices; idempotent past the fixpoint, so
@@ -1568,6 +1607,12 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks.select("v", F.round("rank", 6).alias("rank"))
 
 
+def q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from combblas_spark.algos.hits import hits_fixed
+
+    return hits_fixed(spark, _graph(spark, sf_dir), n_iter=PR_ITERS)
+
+
 def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     from combblas_spark.algos.kcore import kcore
 
@@ -2283,6 +2328,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank5": q_pagerank,
         "cc": q_cc,
         "kcore": q_kcore,
+        "hits5": q_hits,
         "cc_as": q_cc_as,
         "labelprop2": q_labelprop,
         "triangles": q_triangles,
@@ -2343,6 +2389,7 @@ def oracle_sql() -> dict[str, str]:
         "pagerank5": _pagerank_sql(PR_ITERS),
         "cc": _cc_sql(CC_ROUNDS),
         "kcore": _kcore_sql(KCORE_K, KCORE_ROUNDS),
+        "hits5": _hits_sql(PR_ITERS),
         "cc_as": _cc_sql(CC_ROUNDS),
         "labelprop2": _labelprop_sql(LP_ITERS),
         "triangles": TRIANGLES_SQL,

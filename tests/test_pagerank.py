@@ -195,3 +195,31 @@ def test_pagerank_frees_only_its_own_checkpoints(spark):
     # superseded rank snapshots were freed: at most the final checkpoint
     # plus the loop-invariant caches remain, NOT one RDD per iteration
     assert len(live - before) < res.iterations
+
+
+def test_hits_matches_numpy(spark):
+    """hits_fixed == the same alternating L1-normalized recursion run
+    densely in numpy on the adjacency matrix."""
+    import numpy as np
+
+    from combblas_spark.algos.hits import hits_fixed
+    from combblas_spark.sources import fixtures as FX
+
+    triples = FX.SEVEN
+    g = FX.graph(spark, triples)
+    ids = sorted({v for s, d, _ in triples for v in (s, d)})
+    idx = {v: i for i, v in enumerate(ids)}
+    A = np.zeros((len(ids), len(ids)))
+    for s, d, _ in triples:
+        A[idx[s], idx[d]] = 1.0
+    hub = np.ones(len(ids))
+    for _ in range(4):
+        auth = A.T @ hub
+        auth /= auth.sum()
+        hub = A @ auth
+        hub /= hub.sum()
+    got = {r["v"]: (r["hub"], r["auth"]) for r in hits_fixed(spark, g, 4).collect()}
+    assert set(got) == set(ids)
+    for v in ids:
+        assert got[v][0] == pytest.approx(round(float(hub[idx[v]]), 6), abs=2e-6)
+        assert got[v][1] == pytest.approx(round(float(auth[idx[v]]), 6), abs=2e-6)
