@@ -74,6 +74,52 @@ sedges AS MATERIALIZED (
 )"""
 
 
+PPR_SEEDS = [1, 7, 42]  # customer-side vertices present at every sf
+
+
+def _ppr_sql(n_iter: int, seeds: list[int]) -> str:
+    """Personalized-PageRank unroll: the _pagerank_sql recursion with
+    the uniform teleport replaced by the seed indicator t(v)."""
+    t = 1.0 / len(seeds)
+    in_list = ", ".join(str(s) for s in seeds)
+    parts = [
+        "WITH " + EDGES_CTE.strip() + ",",
+        f"""verts AS MATERIALIZED (
+  SELECT DISTINCT v FROM (SELECT src AS v FROM edges UNION ALL SELECT dst AS v FROM edges)
+),
+deg AS MATERIALIZED (SELECT src AS v, count(*) AS deg FROM edges GROUP BY src),
+vd AS MATERIALIZED (
+  SELECT verts.v, coalesce(deg.deg, 0) AS deg,
+         CASE WHEN verts.v IN ({in_list}) THEN {t} ELSE 0.0 END AS t
+  FROM verts LEFT JOIN deg USING (v)
+),
+r0 AS MATERIALIZED (SELECT v, t AS rank FROM vd)""",
+    ]
+    for k in range(1, n_iter + 1):
+        prev = f"r{k-1}"
+        parts.append(
+            f""",
+d{k} AS MATERIALIZED (
+  SELECT coalesce(sum(p.rank), 0.0) AS mass
+  FROM {prev} p JOIN vd USING (v) WHERE vd.deg = 0
+),
+s{k} AS MATERIALIZED (
+  SELECT e.dst AS v, sum(p.rank / vd.deg) AS s
+  FROM edges e JOIN {prev} p ON e.src = p.v JOIN vd ON vd.v = p.v
+  WHERE vd.deg > 0
+  GROUP BY e.dst
+),
+r{k} AS MATERIALIZED (
+  SELECT vd.v,
+         (1 - {ALPHA}) * vd.t
+         + {ALPHA} * (coalesce(s{k}.s, 0.0) + (SELECT mass FROM d{k}) * vd.t) AS rank
+  FROM vd LEFT JOIN s{k} ON vd.v = s{k}.v
+)"""
+        )
+    parts.append(f"\nSELECT v, round(rank, 6) AS rank FROM r{n_iter}")
+    return "\n".join(parts)
+
+
 def _hits_sql(n_iter: int) -> str:
     """HITS unroll: alternating L1-normalized hub/authority updates on
     the distinct edge set — the exact recursion of algos/hits.py."""
@@ -602,6 +648,44 @@ SELECT doc_id, tokens, total_grams, distinct_grams,
        round((total_grams - distinct_grams) / total_grams, 6) AS dup_gram_frac,
        round(least(top_c * {n} / tokens, 1.0), 6) AS top_gram_frac
 FROM agg
+"""
+
+
+MIX_RATES = {"src0": 0.1, "src1": 0.5, "src2": 1.0}  # others: default 0.75
+MIX_DEFAULT = 0.75
+
+
+def _mixture_sql() -> str:
+    from combblas_spark.pipeline.text import split_bounds
+
+    def bound(rate: float) -> str:
+        return "TRUE" if rate >= 1.0 else f"h32 < '{split_bounds((rate,))[0]}'"
+
+    whens = "\n       ".join(
+        f"WHEN source = '{g}' THEN {bound(r)}" for g, r in MIX_RATES.items()
+    )
+    return f"""
+WITH h AS (
+  SELECT doc_id, source,
+         substr(md5('mix-v1' || CAST(doc_id AS VARCHAR)), 1, 8) AS h32
+  FROM documents
+)
+SELECT doc_id, source AS "group", h32,
+  CASE {whens}
+       ELSE {bound(MIX_DEFAULT)} END AS keep
+FROM h
+"""
+
+
+VOCAB_K = 15  # boundary falls inside a count tie (data/table both 908 at sf0.01)
+# so the token-order tie-break is exercised, and 15 < 31 distinct tokens
+
+VOCAB_SQL = f"""
+SELECT token, count(*) AS cnt
+FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+GROUP BY token
+ORDER BY cnt DESC, token
+LIMIT {VOCAB_K}
 """
 
 
@@ -1607,6 +1691,14 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks.select("v", F.round("rank", 6).alias("rank"))
 
 
+def q_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from combblas_spark.algos.ppr import ppr_fixed
+
+    return ppr_fixed(
+        spark, _graph(spark, sf_dir), seeds=PPR_SEEDS, n_iter=PR_ITERS, alpha=ALPHA
+    )
+
+
 def q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     from combblas_spark.algos.hits import hits_fixed
 
@@ -1834,6 +1926,18 @@ def q_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     from combblas_spark.pipeline.text import budget_select
 
     return budget_select(_docs(spark, sf_dir), BUDGET_TOKENS)
+
+
+def q_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from combblas_spark.pipeline.text import mixture_sample
+
+    return mixture_sample(_docs(spark, sf_dir), MIX_RATES, default_rate=MIX_DEFAULT)
+
+
+def q_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from combblas_spark.pipeline.text import top_tokens
+
+    return top_tokens(_docs(spark, sf_dir), VOCAB_K)
 
 
 REP_N = 2  # repetition-stats shingle width
@@ -2329,6 +2433,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cc": q_cc,
         "kcore": q_kcore,
         "hits5": q_hits,
+        "ppr5": q_ppr,
         "cc_as": q_cc_as,
         "labelprop2": q_labelprop,
         "triangles": q_triangles,
@@ -2352,6 +2457,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "budget_select": q_budget_select,
         "pack_seqs": q_pack_seqs,
         "repetition": q_repetition,
+        "mixture": q_mixture,
+        "vocab15": q_vocab,
         "lang_id": q_lang_id,
         "quality": q_quality,
         "fingerprint": q_fingerprint,
@@ -2390,6 +2497,7 @@ def oracle_sql() -> dict[str, str]:
         "cc": _cc_sql(CC_ROUNDS),
         "kcore": _kcore_sql(KCORE_K, KCORE_ROUNDS),
         "hits5": _hits_sql(PR_ITERS),
+        "ppr5": _ppr_sql(PR_ITERS, PPR_SEEDS),
         "cc_as": _cc_sql(CC_ROUNDS),
         "labelprop2": _labelprop_sql(LP_ITERS),
         "triangles": TRIANGLES_SQL,
@@ -2412,6 +2520,8 @@ def oracle_sql() -> dict[str, str]:
         "budget_select": _budget_select_sql(),
         "pack_seqs": _pack_seqs_sql(),
         "repetition": _repetition_sql(),
+        "mixture": _mixture_sql(),
+        "vocab15": VOCAB_SQL,
         "lang_id": _lang_id_sql(),
         "quality": _quality_sql(),
         "fingerprint": FINGERPRINT_SQL,

@@ -148,6 +148,67 @@ def split_assign(
     return docs.select("doc_id", h.alias("h32"), case.alias("split"))
 
 
+def mixture_sample(
+    docs: DataFrame,
+    rates: dict[str, float],
+    default_rate: float = 1.0,
+    group_col: str = "source",
+    salt: str = "mix-v1",
+) -> DataFrame:
+    """(doc_id, group, h32, keep) — deterministic per-group rate
+    sampling: keep each document with its group's configured
+    probability (the data-mixing step that up/down-weights sources or
+    languages before training).  Membership is the same zero-shuffle
+    hash rule as :func:`split_assign` — stable across runs, clusters
+    and repartitioning; changing ``salt`` redraws every group at once.
+    """
+    h = F.substring(
+        F.md5(
+            F.concat(F.lit(salt), F.col("doc_id").cast("string")).cast("binary")
+        ),
+        1,
+        8,
+    )
+    group = F.col(group_col)
+
+    def keep_expr(rate: float) -> F.Column:
+        if rate >= 1.0:
+            return F.lit(True)
+        return h < F.lit(split_bounds((rate,))[0])
+
+    case = None
+    for name, rate in rates.items():
+        cond = group == name
+        case = (
+            F.when(cond, keep_expr(rate))
+            if case is None
+            else case.when(cond, keep_expr(rate))
+        )
+    keep = case.otherwise(keep_expr(default_rate)) if case is not None else keep_expr(
+        default_rate
+    )
+    return docs.select(
+        "doc_id", group.alias("group"), h.alias("h32"), keep.alias("keep")
+    )
+
+
+def top_tokens(docs: DataFrame, k: int) -> DataFrame:
+    """(token, cnt) — the ``k`` most frequent tokens, ties broken by
+    token order (the vocabulary-seed step before BPE training).
+
+    Global top-k, NOT a global sort: count map-side combines, then
+    Spark's TakeOrderedAndProject keeps k rows per partition and merges
+    k at the driver — O(k) memory anywhere, any corpus size.
+    """
+    ex = docs.select(F.explode(tokens_col("text")).alias("token"))
+    return (
+        ex.groupBy("token")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), "token")
+        .limit(k)
+    )
+
+
 def repetition_stats(docs: DataFrame, n: int = 2) -> DataFrame:
     """(doc_id, tokens, total_grams, distinct_grams, dup_gram_frac,
     top_gram_frac) — Gopher-style within-document repetition filters:

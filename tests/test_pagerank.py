@@ -223,3 +223,39 @@ def test_hits_matches_numpy(spark):
     for v in ids:
         assert got[v][0] == pytest.approx(round(float(hub[idx[v]]), 6), abs=2e-6)
         assert got[v][1] == pytest.approx(round(float(auth[idx[v]]), 6), abs=2e-6)
+
+
+def test_ppr_matches_numpy_and_conserves_mass(spark):
+    """ppr_fixed == the dense seed-teleport recursion; mass stays 1
+    (teleport + dangling both restart at the seed set); non-seed,
+    unreachable vertices get rank 0."""
+    import numpy as np
+
+    from combblas_spark.algos.ppr import ppr_fixed
+    from combblas_spark.sources import fixtures as FX
+
+    triples = FX.SEVEN
+    g = FX.graph(spark, triples)
+    ids = sorted({v for s, d, _ in triples for v in (s, d)})
+    idx = {v: i for i, v in enumerate(ids)}
+    n = len(ids)
+    A = np.zeros((n, n))
+    for s, d, _ in triples:
+        A[idx[s], idx[d]] = 1.0
+    seeds = ids[:2]
+    t = np.zeros(n)
+    for s in seeds:
+        t[idx[s]] = 1.0 / len(seeds)
+    outdeg = A.sum(axis=1)
+    r = t.copy()
+    for _ in range(4):
+        contrib = np.where(outdeg > 0, r / np.maximum(outdeg, 1), 0.0)
+        dangling = r[outdeg == 0].sum()
+        r = 0.15 * t + 0.85 * (A.T @ contrib + dangling * t)
+    got = {x["v"]: x["rank"] for x in ppr_fixed(spark, g, seeds, 4, 0.85).collect()}
+    assert set(got) == set(ids)
+    for v in ids:
+        assert got[v] == pytest.approx(round(float(r[idx[v]]), 6), abs=2e-6)
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-4)
+    with pytest.raises(ValueError):
+        ppr_fixed(spark, g, [], 2)

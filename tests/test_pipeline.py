@@ -576,3 +576,47 @@ def test_repetition_stats(spark):
     assert got[2]["dup_gram_frac"] == 0.0 and got[2]["top_gram_frac"] == pytest.approx(
         round(2 / 5, 6)
     )
+
+
+def test_mixture_sample(spark):
+    """Rates ~hold per group, rate-1 groups keep everything, the rule
+    is repartition-invariant, and a salt change redraws membership."""
+    from combblas_spark.pipeline.text import mixture_sample
+
+    rows = [(i, "t", f"g{i % 3}") for i in range(3000)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    rates = {"g0": 0.2, "g1": 1.0}
+    out = mixture_sample(docs, rates, default_rate=0.6).collect()
+    by_group = {}
+    for r in out:
+        by_group.setdefault(r["group"], []).append(r["keep"])
+    assert all(by_group["g1"])
+    assert abs(sum(by_group["g0"]) / 1000 - 0.2) < 0.05
+    assert abs(sum(by_group["g2"]) / 1000 - 0.6) < 0.05
+    # repartition-invariant
+    again = {
+        r["doc_id"]: r["keep"]
+        for r in mixture_sample(docs.repartition(7), rates, 0.6).collect()
+    }
+    assert all(again[r["doc_id"]] == r["keep"] for r in out)
+    # salt redraw changes some g0 decisions
+    redraw = {
+        r["doc_id"]: r["keep"]
+        for r in mixture_sample(docs, rates, 0.6, salt="mix-v2").collect()
+    }
+    assert any(redraw[r["doc_id"]] != r["keep"] for r in out if r["group"] == "g0")
+
+
+def test_top_tokens(spark):
+    """Top-k equals the Python counter, boundary ties break by token."""
+    from collections import Counter
+
+    from combblas_spark.pipeline.text import top_tokens
+
+    rows = [(0, "b b b a a c c d"), (1, "a c d d e")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    # counts: a=3, b=3, c=3, d=3, e=1 — k=2 cuts inside the 4-way tie
+    got = [(r["token"], r["cnt"]) for r in top_tokens(docs, 2).collect()]
+    assert sorted(got) == [("a", 3), ("b", 3)]
+    full = [(r["token"], r["cnt"]) for r in top_tokens(docs, 10).collect()]
+    assert sorted(full) == sorted(Counter("b b b a a c c d a c d d e".split()).items())
