@@ -74,6 +74,47 @@ sedges AS MATERIALIZED (
 )"""
 
 
+def _wpagerank_sql(n_iter: int) -> str:
+    """Weighted-PageRank unroll: the _pagerank_sql recursion with
+    deg → Σw and per-edge contributions scaled by w."""
+    parts = [
+        "WITH " + EDGES_CTE.strip() + ",",
+        """verts AS MATERIALIZED (
+  SELECT DISTINCT v FROM (SELECT src AS v FROM edges UNION ALL SELECT dst AS v FROM edges)
+),
+wdeg AS MATERIALIZED (SELECT src AS v, sum(w) AS wdeg FROM edges GROUP BY src),
+vd AS MATERIALIZED (
+  SELECT verts.v, coalesce(wdeg.wdeg, 0.0) AS wdeg FROM verts LEFT JOIN wdeg USING (v)
+),
+params AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n FROM verts),
+r0 AS MATERIALIZED (SELECT v, 1.0 / (SELECT n FROM params) AS rank FROM verts)""",
+    ]
+    for k in range(1, n_iter + 1):
+        prev = f"r{k-1}"
+        parts.append(
+            f""",
+d{k} AS MATERIALIZED (
+  SELECT coalesce(sum(p.rank), 0.0) AS mass
+  FROM {prev} p JOIN vd USING (v) WHERE vd.wdeg = 0
+),
+s{k} AS MATERIALIZED (
+  SELECT e.dst AS v, sum(p.rank * e.w / vd.wdeg) AS s
+  FROM edges e JOIN {prev} p ON e.src = p.v JOIN vd ON vd.v = p.v
+  WHERE vd.wdeg > 0
+  GROUP BY e.dst
+),
+r{k} AS MATERIALIZED (
+  SELECT verts.v,
+         (1 - {ALPHA}) / (SELECT n FROM params)
+         + {ALPHA} * (coalesce(s{k}.s, 0.0)
+                      + (SELECT mass FROM d{k}) / (SELECT n FROM params)) AS rank
+  FROM verts LEFT JOIN s{k} ON verts.v = s{k}.v
+)"""
+        )
+    parts.append(f"\nSELECT v, round(rank, 6) AS rank FROM r{n_iter}")
+    return "\n".join(parts)
+
+
 PPR_SEEDS = [1, 7, 42]  # customer-side vertices present at every sf
 
 
@@ -1691,6 +1732,12 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks.select("v", F.round("rank", 6).alias("rank"))
 
 
+def q_wpagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from combblas_spark.algos.wpagerank import wpagerank_fixed
+
+    return wpagerank_fixed(spark, _graph(spark, sf_dir), n_iter=PR_ITERS, alpha=ALPHA)
+
+
 def q_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
     from combblas_spark.algos.ppr import ppr_fixed
 
@@ -2434,6 +2481,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kcore": q_kcore,
         "hits5": q_hits,
         "ppr5": q_ppr,
+        "wpagerank5": q_wpagerank,
         "cc_as": q_cc_as,
         "labelprop2": q_labelprop,
         "triangles": q_triangles,
@@ -2498,6 +2546,7 @@ def oracle_sql() -> dict[str, str]:
         "kcore": _kcore_sql(KCORE_K, KCORE_ROUNDS),
         "hits5": _hits_sql(PR_ITERS),
         "ppr5": _ppr_sql(PR_ITERS, PPR_SEEDS),
+        "wpagerank5": _wpagerank_sql(PR_ITERS),
         "cc_as": _cc_sql(CC_ROUNDS),
         "labelprop2": _labelprop_sql(LP_ITERS),
         "triangles": TRIANGLES_SQL,

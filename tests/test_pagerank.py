@@ -259,3 +259,35 @@ def test_ppr_matches_numpy_and_conserves_mass(spark):
     assert sum(got.values()) == pytest.approx(1.0, abs=1e-4)
     with pytest.raises(ValueError):
         ppr_fixed(spark, g, [], 2)
+
+
+def test_wpagerank_matches_numpy(spark):
+    """wpagerank_fixed == the dense weighted recursion; unequal weights
+    must CHANGE the ranking vs the unweighted kernel."""
+    import numpy as np
+
+    from combblas_spark.algos.pagerank import pagerank_fixed
+    from combblas_spark.algos.wpagerank import wpagerank_fixed
+    from combblas_spark.sources import fixtures as FX
+
+    triples = [
+        (0, 1, 10.0), (0, 2, 1.0), (1, 2, 2.0), (2, 0, 1.0),
+        (2, 3, 5.0), (3, 4, 1.0),  # 4 is dangling
+    ]
+    g = FX.graph(spark, triples)
+    n = 5
+    Wm = np.zeros((n, n))
+    for s, d, w in triples:
+        Wm[s, d] = w
+    wdeg = Wm.sum(axis=1)
+    r = np.full(n, 1.0 / n)
+    for _ in range(4):
+        contrib = np.where(wdeg > 0, r / np.maximum(wdeg, 1e-300), 0.0)
+        dangling = r[wdeg == 0].sum()
+        r = (1 - 0.85) / n + 0.85 * (Wm.T @ contrib + dangling / n)
+    got = {x["v"]: x["rank"] for x in wpagerank_fixed(spark, g, 4, 0.85).collect()}
+    for v in range(n):
+        assert got[v] == pytest.approx(round(float(r[v]), 6), abs=2e-6)
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-4)
+    unw = {x["v"]: x["rank"] for x in pagerank_fixed(spark, g, n_iter=4).collect()}
+    assert any(abs(unw[v] - got[v]) > 1e-4 for v in range(n))
