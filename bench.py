@@ -233,6 +233,20 @@ def main() -> None:
             df = fn(spark, args.sf_dir)
             df.count()
             timings[name] = round(time.time() - t0, 3)
+            # Release this query's persisted state before the next one.
+            # Iterative algos must leave their final checkpoint alive for
+            # the DataFrame they return (unpersisting it would force a
+            # full recompute on the caller's next action), so the session
+            # accumulates one pinned RDD per query — across a 60-query
+            # sweep that squeezes execution memory until the late queries
+            # (triangle SpGEMM most visibly) run 5-10x slower than
+            # standalone.  The returned df is already counted here, so
+            # dropping its lineage cache is free.
+            spark.catalog.clearCache()
+            for rdd in list(
+                spark.sparkContext._jsc.getPersistentRDDs().values()
+            ):
+                rdd.unpersist()
 
     total = round(sum(timings.values()), 3)
     out = {
