@@ -223,7 +223,12 @@ e{r} AS MATERIALIZED (
     return "\n".join(parts)
 
 
-def _pagerank_sql(n_iter: int, edges_cte: str = EDGES_CTE) -> str:
+def _pagerank_sql(
+    n_iter: int, edges_cte: str = EDGES_CTE, final_sql: str | None = None
+) -> str:
+    """PageRank unroll; ``final_sql`` replaces the default final select
+    (it sees CTE ``r{n_iter}`` and must start with its own ``,`` if it
+    adds CTEs) so downstream consumers can join the converged ranks."""
     parts = [
         "WITH " + edges_cte.strip() + ",",
         """verts AS MATERIALIZED (
@@ -256,7 +261,11 @@ r{k} AS MATERIALIZED (
   FROM verts LEFT JOIN s{k} ON verts.v = s{k}.v
 )"""
         )
-    parts.append(f"\nSELECT v, round(rank, 6) AS rank FROM r{n_iter}")
+    parts.append(
+        final_sql
+        if final_sql is not None
+        else f"\nSELECT v, round(rank, 6) AS rank FROM r{n_iter}"
+    )
     return "\n".join(parts)
 
 
@@ -1703,6 +1712,29 @@ def _hostrank_sql(n_iter: int) -> str:
     return _pagerank_sql(n_iter, edges_cte=cte)
 
 
+def _host_curation_sql(n_iter: int, k: int) -> str:
+    """Rank-weighted corpus curation oracle: the HostRank unroll over
+    the pinned host-edge fixture joined to the pinned pages_meta
+    fixture (url, host, n_tokens from the PURE rules — reference
+    extractor + urllib host parse + python tokenization), scored
+    rank·sqrt(n_tokens) and top-k selected.  sqrt (not log) because
+    IEEE-754 requires sqrt correctly rounded, so Spark and DuckDB
+    produce bit-identical scores; ln is not so guaranteed."""
+    cte = WEBGRAPH_EDGES_CTE_TEMPLATE.format(path=_fixture("host_edges.parquet"))
+    final = f""",
+ranks AS MATERIALIZED (SELECT v, round(rank, 6) AS rank FROM r{n_iter}),
+meta AS MATERIALIZED (
+  SELECT url, host, n_tokens FROM read_parquet('{_fixture("pages_meta.parquet")}')
+)
+SELECT m.url, m.host, m.n_tokens,
+       r.rank,
+       round(r.rank * sqrt(m.n_tokens), 6) AS score
+FROM meta m JOIN ranks r ON r.v = m.host
+ORDER BY score DESC, m.url
+LIMIT {k}"""
+    return _pagerank_sql(n_iter, edges_cte=cte, final_sql=final)
+
+
 def _webgraph_pagerank_sql(n_iter: int) -> str:
     """PageRank unroll over the pinned extracted-edge fixture: the
     Spark side runs the full live ingest (synthetic pages → Arrow-UDF
@@ -2446,6 +2478,49 @@ def q_hostrank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CURATE_K = 40  # pages kept by the rank-weighted curation gate
+
+
+def q_host_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph-signal-driven corpus curation — the cross-component
+    flagship tying the link-graph half to the training-pipeline half:
+    pages → Arrow-UDF text extraction → JVM host rollup → PageRank on
+    the host graph → each page scored rank(host)·sqrt(n_tokens) → the
+    top-K pages selected for the training corpus.
+
+    100 TB shape: host ranks are tiny (hosts ≪ urls) and broadcast
+    onto the page scan; per-page metadata is one narrow column-pruned
+    pass over html; the selection is orderBy().limit() — Spark's
+    distributed TakeOrderedAndProject, per-partition top-K then a
+    driver merge of K·P candidate rows, never a global sort."""
+    from combblas_spark.algos.pagerank import pagerank_fixed
+    from combblas_spark.sources.extract import extract_text
+    from combblas_spark.sources.pages import synth_pages
+    from combblas_spark.sources.webgraph import host_graph
+
+    pages = synth_pages(spark, 256, seed=42, n_partitions=4)
+    hg = host_graph(pages, n_partitions=8)
+    ranks = pagerank_fixed(spark, hg.graph, n_iter=PR_ITERS, alpha=ALPHA)
+    host_rank = ranks.join(hg.dictionary, ranks["v"] == hg.dictionary["id"]).select(
+        F.col("label").alias("host"), F.round("rank", 6).alias("rank")
+    )
+    meta = pages.select(
+        "url",
+        F.parse_url("url", F.lit("HOST")).alias("host"),
+        F.size(F.split(extract_text(F.col("html")), " ", -1))
+        .cast("long")
+        .alias("n_tokens"),
+    )
+    scored = meta.join(F.broadcast(host_rank), "host").select(
+        "url",
+        "host",
+        "n_tokens",
+        "rank",
+        F.round(F.col("rank") * F.sqrt(F.col("n_tokens")), 6).alias("score"),
+    )
+    return scored.orderBy(F.desc("score"), F.asc("url")).limit(CURATE_K)
+
+
 def q_webgraph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full oracle gate for the north-star ingest path — synthetic
     Common-Crawl-style pages → Arrow-UDF text/link extraction → url→id
@@ -2532,6 +2607,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mtx_degrees": q_mtx_degrees,
         "webgraph_pagerank": q_webgraph_pagerank,
         "hostrank": q_hostrank,
+        "host_curation": q_host_curation,
         "sessionize": q_sessionize,
         "moving_avg7": q_moving_avg,
         "cc_hist": q_cc_hist,
@@ -2602,5 +2678,6 @@ def oracle_sql() -> dict[str, str]:
         "simhash_pairs": _simhash_pairs_sql(),
         "webgraph_pagerank": _webgraph_pagerank_sql(PR_ITERS),
         "hostrank": _hostrank_sql(PR_ITERS),
+        "host_curation": _host_curation_sql(PR_ITERS, CURATE_K),
         "media_features": _media_features_sql(),
     }

@@ -180,6 +180,36 @@ def make_host_edges(n_pages: int = 256, seed: int = 42) -> None:
     print(f"host_edges: {len(src)} distinct host pairs over {n_pages} pages")
 
 
+def make_pages_meta(n_pages: int = 256, seed: int = 42) -> None:
+    """(url, host, n_tokens) of the 256-page crawl from the PURE rules:
+    text via the pinned reference extractor (the golden semantics the
+    Arrow UDF must match byte-identically), host via urllib (independent
+    of Spark's parse_url), tokens via python str.split(' ') (independent
+    of the JVM split) — oracles q_host_curation's live scoring inputs."""
+    from urllib.parse import urlparse
+
+    from combblas_spark.sources.extract import extract_text_py
+    from combblas_spark.sources.pages import _render_page, page_url
+
+    urls, hosts, ntok = [], [], []
+    for i in range(n_pages):
+        _, html, _ = _render_page(i, n_pages, seed)
+        urls.append(page_url(i))
+        hosts.append(urlparse(page_url(i)).netloc)
+        ntok.append(len(extract_text_py(html).split(" ")))
+    pq.write_table(
+        pa.table(
+            {
+                "url": pa.array(urls, pa.string()),
+                "host": pa.array(hosts, pa.string()),
+                "n_tokens": pa.array(ntok, pa.int64()),
+            }
+        ),
+        os.path.join(OUT, "pages_meta.parquet"),
+    )
+    print(f"pages_meta: {n_pages} pages, {len(set(hosts))} hosts")
+
+
 def make_mis_priorities(seed: int = 42) -> None:
     import duckdb
 
@@ -466,6 +496,7 @@ if __name__ == "__main__":
     _check_vec()
     make_webgraph_edges()
     make_host_edges()
+    make_pages_meta()
     make_mis_priorities()
     make_bfs_rand_priorities()
     make_minhash_sigs()

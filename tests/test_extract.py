@@ -117,3 +117,60 @@ def test_host_graph_rollup(spark, pages):
     assert got == want
     # dictionary universe == hosts that appear on some cross-host edge
     assert set(id_of.values()) == {v for e in want for v in e}
+
+
+def test_host_curation_matches_pure_python(spark):
+    """q_host_curation's selected page set == an independent pure-Python
+    pipeline: reference extractor + urllib hosts + numpy PageRank on the
+    pure-rule host graph + the same rank·sqrt(tokens) scoring."""
+    from urllib.parse import urlparse
+
+    import numpy as np
+
+    import __spark_entry__ as entry
+    from combblas_spark.sources.pages import _render_page, link_targets
+
+    n_pages, seed = 256, 42
+    # pure host edge list (distinct pairs, self-host dropped)
+    pairs = set()
+    for i in range(n_pages):
+        hs = urlparse(page_url(i)).netloc
+        for t in link_targets(i, n_pages, seed):
+            hd = urlparse(page_url(t)).netloc
+            if hs != hd:
+                pairs.add((hs, hd))
+    hosts = sorted({h for e in pairs for h in e})
+    idx = {h: k for k, h in enumerate(hosts)}
+    n = len(hosts)
+    out: list[list[int]] = [[] for _ in range(n)]
+    for s, d in pairs:
+        out[idx[s]].append(idx[d])
+    deg = np.array([len(o) for o in out], dtype=float)
+    rank = np.full(n, 1.0 / n)
+    for _ in range(entry.PR_ITERS):
+        nxt = np.zeros(n)
+        for v, targets in enumerate(out):
+            if targets:
+                nxt[targets] += rank[v] / deg[v]
+        dangling = rank[deg == 0].sum()
+        rank = (1 - entry.ALPHA) / n + entry.ALPHA * (nxt + dangling / n)
+    rank = np.round(rank, 6)
+    # pure per-page scores; only pages whose host is in the graph
+    scored = []
+    for i in range(n_pages):
+        url, host = page_url(i), urlparse(page_url(i)).netloc
+        if host not in idx:
+            continue
+        _, html, _ = _render_page(i, n_pages, seed)
+        n_tok = len(extract_text_py(html).split(" "))
+        score = round(float(rank[idx[host]]) * float(np.sqrt(n_tok)), 6)
+        scored.append((url, score))
+    scored.sort(key=lambda r: (-r[1], r[0]))
+    want = {u for u, _ in scored[: entry.CURATE_K]}
+
+    got_rows = entry.q_host_curation(spark, "unused").collect()
+    assert len(got_rows) == entry.CURATE_K
+    assert {r["url"] for r in got_rows} == want
+    by_url = {u: s for u, s in scored}
+    for r in got_rows:
+        assert r["score"] == pytest.approx(by_url[r["url"]], abs=2e-6)
