@@ -51,6 +51,10 @@ CONTAM_T = 0.2     # contaminated iff ≥20% of a doc's grams hit the benchmark
 CONTAM_BENCH_MOD = 50  # benchmark set = docs with doc_id % 50 == 0
 ANN_K = 5
 ANN_NQ = 10
+KATZ_ALPHA = 0.005  # << 1/λ_max on the link graph; keeps x values O(10)
+KATZ_BETA = 1.0
+AA_K = 3           # Adamic-Adar candidates kept per query vertex
+AA_MAX_SRC = 40    # deterministic query-side slice (part-id space)
 
 # ---------------------------------------------------------------------------
 # shared SQL building blocks (DuckDB oracle side)
@@ -198,6 +202,138 @@ SELECT h.v, round(h.hub, 6) AS hub, round(a.auth, 6) AS auth
 FROM h{n_iter} h JOIN a{n_iter} a USING (v)"""
     )
     return "\n".join(parts)
+
+
+def _katz_sql(n_iter: int, alpha: float, beta: float) -> str:
+    """Truncated-Katz unroll: x_k = β + α·Σ_{u→v} w·x_{k-1}(u), x_0 = β
+    — the exact affine SpMV recursion of algos/katz.py."""
+    parts = [
+        "WITH " + EDGES_CTE.strip() + ",",
+        f"""verts AS MATERIALIZED (
+  SELECT DISTINCT v FROM (SELECT src AS v FROM edges UNION ALL SELECT dst AS v FROM edges)
+),
+x0 AS MATERIALIZED (SELECT v, {beta} AS x FROM verts)""",
+    ]
+    for k in range(1, n_iter + 1):
+        parts.append(
+            f""",
+s{k} AS MATERIALIZED (
+  SELECT e.dst AS v, sum(e.w * x.x) AS s
+  FROM edges e JOIN x{k-1} x ON e.src = x.v GROUP BY e.dst
+),
+x{k} AS MATERIALIZED (
+  SELECT verts.v, {beta} + {alpha} * coalesce(s{k}.s, 0.0) AS x
+  FROM verts LEFT JOIN s{k} USING (v)
+)"""
+        )
+    parts.append(f"\nSELECT v, round(x, 6) AS katz FROM x{n_iter}")
+    return "\n".join(parts)
+
+
+def _salsa_sql(n_iter: int) -> str:
+    """SALSA unroll: the _hits_sql recursion with each vote split by
+    the sender's degree (hub/outdeg on the auth step, auth/indeg on the
+    hub step) — the exact recursion of algos/hits.py::salsa_fixed."""
+    parts = [
+        "WITH " + EDGES_CTE.strip() + ",",
+        """dedges AS MATERIALIZED (SELECT DISTINCT src, dst FROM edges),
+verts AS MATERIALIZED (
+  SELECT DISTINCT v FROM (SELECT src AS v FROM dedges UNION ALL SELECT dst AS v FROM dedges)
+),
+od AS MATERIALIZED (SELECT src AS v, count(*) AS od FROM dedges GROUP BY src),
+idg AS MATERIALIZED (SELECT dst AS v, count(*) AS idg FROM dedges GROUP BY dst),
+h0 AS MATERIALIZED (SELECT v, 1.0 AS hub FROM verts)""",
+    ]
+    for k in range(1, n_iter + 1):
+        parts.append(
+            f""",
+ar{k} AS MATERIALIZED (
+  SELECT e.dst AS v, sum(h.hub / od.od) AS a
+  FROM dedges e JOIN h{k-1} h ON e.src = h.v JOIN od ON od.v = e.src
+  GROUP BY e.dst
+),
+a{k} AS MATERIALIZED (
+  SELECT verts.v, coalesce(ar{k}.a, 0.0) / (SELECT sum(a) FROM ar{k}) AS auth
+  FROM verts LEFT JOIN ar{k} USING (v)
+),
+hr{k} AS MATERIALIZED (
+  SELECT e.src AS v, sum(a.auth / idg.idg) AS h
+  FROM dedges e JOIN a{k} a ON e.dst = a.v JOIN idg ON idg.v = e.dst
+  GROUP BY e.src
+),
+h{k} AS MATERIALIZED (
+  SELECT verts.v, coalesce(hr{k}.h, 0.0) / (SELECT sum(h) FROM hr{k}) AS hub
+  FROM verts LEFT JOIN hr{k} USING (v)
+)"""
+        )
+    parts.append(
+        f"""
+SELECT h.v, round(h.hub, 6) AS hub, round(a.auth, 6) AS auth
+FROM h{n_iter} h JOIN a{n_iter} a USING (v)"""
+    )
+    return "\n".join(parts)
+
+
+def _adamic_adar_sql(k: int, max_src: int) -> str:
+    """Adamic-Adar top-k over the co-purchase graph (the same ``und``
+    the triangle gates use): wedge join through the common neighbor z,
+    1/ln(global degree) votes, complement-of-A mask, score rounded
+    BEFORE the rank window so FP noise can't flip a top-k boundary —
+    the exact pipeline of algos/linkpred.py."""
+    return f"""
+WITH und AS MATERIALIZED (
+  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+),
+deg AS MATERIALIZED (SELECT src AS v, count(*) AS deg FROM und GROUP BY src),
+wdg AS MATERIALIZED (
+  SELECT e1.src AS u, e1.dst AS z, e2.dst AS v
+  FROM und e1 JOIN und e2 ON e1.dst = e2.src
+  WHERE e1.src <= {max_src} AND e1.src <> e2.dst
+),
+sc AS MATERIALIZED (
+  SELECT w.u, w.v, sum(1.0 / ln(d.deg)) AS s
+  FROM wdg w JOIN deg d ON d.v = w.z
+  GROUP BY w.u, w.v
+),
+masked AS MATERIALIZED (
+  SELECT u, v, round(s, 6) AS score FROM sc
+  WHERE NOT EXISTS (SELECT 1 FROM und WHERE und.src = sc.u AND und.dst = sc.v)
+)
+SELECT u, v, score FROM (
+  SELECT u, v, score,
+         row_number() OVER (PARTITION BY u ORDER BY score DESC, v ASC) AS rn
+  FROM masked
+) WHERE rn <= {k}
+"""
+
+
+RECIP_ASSORT_SQL = """
+WITH de AS MATERIALIZED (
+  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_linenumber < b.l_linenumber
+   AND a.l_partkey <> b.l_partkey
+),
+od AS MATERIALIZED (SELECT src AS v, count(*) AS od FROM de GROUP BY src),
+idg AS MATERIALIZED (SELECT dst AS v, count(*) AS idg FROM de GROUP BY dst),
+st AS MATERIALIZED (
+  SELECT avg(CASE WHEN EXISTS (
+           SELECT 1 FROM de r WHERE r.src = e.dst AND r.dst = e.src
+         ) THEN 1.0 ELSE 0.0 END) AS r,
+         avg(CAST(od.od AS DOUBLE)) AS mx, avg(CAST(idg.idg AS DOUBLE)) AS my,
+         avg(CAST(od.od AS DOUBLE) * idg.idg) AS mxy,
+         avg(CAST(od.od AS DOUBLE) * od.od) AS mxx,
+         avg(CAST(idg.idg AS DOUBLE) * idg.idg) AS myy
+  FROM de e JOIN od ON od.v = e.src JOIN idg ON idg.v = e.dst
+)
+SELECT round(r, 6) AS reciprocity,
+       round(CASE WHEN mxx - mx*mx > 0 AND myy - my*my > 0
+                  THEN (mxy - mx*my) / (sqrt(mxx - mx*mx) * sqrt(myy - my*my))
+             END, 6) AS assortativity
+FROM st
+"""
 
 
 def _kcore_sql(k: int, rounds: int) -> str:
@@ -903,6 +1039,20 @@ corners AS (
   SELECT a AS v FROM t UNION ALL SELECT b FROM t UNION ALL SELECT c FROM t
 )
 SELECT v, count(*) AS triangles FROM corners GROUP BY v
+"""
+)
+
+# Local clustering coefficient: per-vertex triangle credit over the
+# same oriented pipeline, divided by the undirected-degree pair count.
+CLUSTERING_SQL = (
+    TRIANGLES_PV_SQL.rpartition("\nSELECT")[0]
+    + """,
+tc AS MATERIALIZED (SELECT v, count(*) AS t FROM corners GROUP BY v)
+SELECT d.v,
+       round(CASE WHEN d.deg >= 2
+                  THEN 2.0 * coalesce(tc.t, 0) / (CAST(d.deg AS DOUBLE) * (d.deg - 1.0))
+                  ELSE 0.0 END, 6) AS coeff
+FROM deg d LEFT JOIN tc ON d.v = tc.v
 """
 )
 
@@ -1784,6 +1934,28 @@ def q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hits_fixed(spark, _graph(spark, sf_dir), n_iter=PR_ITERS)
 
 
+def q_salsa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SALSA gate: degree-normalized alternating hub/authority walk —
+    the same two-SpMV superstep as q_hits with the random-surfer vote
+    split (algos/hits.py::salsa_fixed)."""
+    from combblas_spark.algos.hits import salsa_fixed
+
+    return salsa_fixed(spark, _graph(spark, sf_dir), n_iter=PR_ITERS)
+
+
+def q_katz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truncated-Katz gate: 5 affine weighted-SpMV updates
+    (algos/katz.py) — the third classic algebraic-path centrality next
+    to pagerank5/hits5, exercising the beta-shift + alpha-scale
+    semiring variant of the cached-edge superstep."""
+    from combblas_spark.algos.katz import katz_fixed
+
+    return katz_fixed(
+        spark, _graph(spark, sf_dir), n_iter=PR_ITERS,
+        alpha=KATZ_ALPHA, beta=KATZ_BETA,
+    )
+
+
 def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     from combblas_spark.algos.kcore import kcore
 
@@ -1847,6 +2019,52 @@ def q_triangles_pv(spark: SparkSession, sf_dir: str) -> DataFrame:
     from combblas_spark.algos.triangles import per_vertex_triangles
 
     return per_vertex_triangles(spark, _copurchase_graph(spark, sf_dir))
+
+
+def q_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficient gate — the canonical consumer of
+    the masked-SpGEMM triangle kernel (the reference's README names
+    clustering coefficients as the Square/EWiseMult use case); same
+    co-purchase input graph as the triangle gates BY CONSTRUCTION."""
+    from combblas_spark.algos.triangles import local_clustering
+
+    return local_clustering(spark, _copurchase_graph(spark, sf_dir))
+
+
+def q_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adamic-Adar link-prediction gate (algos/linkpred.py): top-3
+    related vertices per query vertex on the co-purchase graph — the
+    complement-masked SpGEMM row with 1/ln-degree votes."""
+    from combblas_spark.algos.linkpred import adamic_adar_topk
+
+    return adamic_adar_topk(
+        spark, _copurchase_graph(spark, sf_dir), k=AA_K, max_src=AA_MAX_SRC
+    )
+
+
+def q_recip_assort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Digraph shape-metrics gate (reciprocity + degree assortativity,
+    operators/reduce.py) on the line-number-ordered co-purchase
+    digraph — non-bipartite and non-symmetric, so both metrics are
+    non-vacuous (reciprocity strictly between 0 and 1)."""
+    from combblas_spark.operators.reduce import reciprocity_assortativity
+    from combblas_spark.sources.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_linenumber"
+    )
+    a, b = li.alias("a"), li.alias("b")
+    de = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_linenumber") < F.col("b.l_linenumber"))
+            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst"))
+        .distinct()
+    )
+    return reciprocity_assortativity(de)
 
 
 def q_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2555,6 +2773,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cc": q_cc,
         "kcore": q_kcore,
         "hits5": q_hits,
+        "salsa5": q_salsa,
+        "katz5": q_katz,
+        "clustering_coeff": q_clustering,
+        "adamic_adar3": q_adamic_adar,
+        "recip_assort": q_recip_assort,
         "ppr5": q_ppr,
         "wpagerank5": q_wpagerank,
         "cc_as": q_cc_as,
@@ -2621,6 +2844,11 @@ def oracle_sql() -> dict[str, str]:
         "cc": _cc_sql(CC_ROUNDS),
         "kcore": _kcore_sql(KCORE_K, KCORE_ROUNDS),
         "hits5": _hits_sql(PR_ITERS),
+        "salsa5": _salsa_sql(PR_ITERS),
+        "katz5": _katz_sql(PR_ITERS, KATZ_ALPHA, KATZ_BETA),
+        "clustering_coeff": CLUSTERING_SQL,
+        "adamic_adar3": _adamic_adar_sql(AA_K, AA_MAX_SRC),
+        "recip_assort": RECIP_ASSORT_SQL,
         "ppr5": _ppr_sql(PR_ITERS, PPR_SEEDS),
         "wpagerank5": _wpagerank_sql(PR_ITERS),
         "cc_as": _cc_sql(CC_ROUNDS),

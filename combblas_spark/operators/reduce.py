@@ -218,3 +218,56 @@ def histogram(labels: DataFrame, key: str = "comp") -> DataFrame:
         .agg(F.count("*").alias("n"))
         .orderBy("size")
     )
+
+
+def reciprocity_assortativity(edges: DataFrame) -> DataFrame:
+    """One-row (reciprocity, assortativity) shape metrics of a digraph.
+
+    Reciprocity = fraction of distinct directed edges whose reverse is
+    also present; degree assortativity = Pearson correlation between
+    outdeg(src) and indeg(dst) sampled per edge (Newman's directed
+    out-in variant).  Companions to bandwidth/profile in the metrics
+    probe family — a web link graph's reciprocity (~0.3 for the real
+    web) and disassortativity are the standard sanity checks after
+    crawl ingest.
+
+    One wide pass: two O(n)-build degree attaches (shuffled-hash, the
+    edge stream is never sorted), one self-join on the edge key for the
+    reverse marker, then a single fused scalar aggregate.  Pearson is
+    spelled out as the moment formula (avg(xy)−avg(x)avg(y)) / σxσy
+    with a zero-variance NULL guard — Spark's corr() raises
+    DIVIDE_BY_ZERO under ANSI mode on degenerate inputs, and the
+    explicit form is the same algebra the DuckDB oracle runs, so the
+    two sides agree bit-for-bit at the 6-decimal gate.
+    """
+    e = edges.select(SRC, DST).distinct().cache()
+    od = e.groupBy(F.col(SRC).alias("v")).agg(F.count("*").alias("od"))
+    idg = e.groupBy(F.col(DST).alias("v")).agg(F.count("*").alias("idg"))
+    rev = e.select(F.col(DST).alias(SRC), F.col(SRC).alias(DST)).withColumn(
+        "_rev", F.lit(1)
+    )
+    x = F.col("od").cast("double")
+    y = F.col("idg").cast("double")
+    stats = (
+        e.join(od.withColumnRenamed("v", SRC).hint("shuffle_hash"), SRC)
+        .join(idg.withColumnRenamed("v", DST).hint("shuffle_hash"), DST)
+        .join(rev, [SRC, DST], "left")
+        .agg(
+            F.avg(F.coalesce(F.col("_rev"), F.lit(0)).cast("double")).alias("_r"),
+            F.avg(x).alias("_mx"),
+            F.avg(y).alias("_my"),
+            F.avg(x * y).alias("_mxy"),
+            F.avg(x * x).alias("_mxx"),
+            F.avg(y * y).alias("_myy"),
+        )
+    )
+    vx = F.col("_mxx") - F.col("_mx") * F.col("_mx")
+    vy = F.col("_myy") - F.col("_my") * F.col("_my")
+    cov = F.col("_mxy") - F.col("_mx") * F.col("_my")
+    return stats.select(
+        F.round("_r", 6).alias("reciprocity"),
+        F.round(
+            F.when((vx > 0) & (vy > 0), cov / (F.sqrt(vx) * F.sqrt(vy))),
+            6,
+        ).alias("assortativity"),
+    )
