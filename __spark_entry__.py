@@ -55,6 +55,11 @@ KATZ_ALPHA = 0.005  # << 1/λ_max on the link graph; keeps x values O(10)
 KATZ_BETA = 1.0
 AA_K = 3           # Adamic-Adar candidates kept per query vertex
 AA_MAX_SRC = 40    # deterministic query-side slice (part-id space)
+HARM_SOURCES = [0, 1, 2, 3]  # harmonic-centrality source batch
+HARM_DEPTH = 4     # same truncation depth as the BFS gates
+KTRUSS_K = 12      # support >= 10: peels 115729 -> 69588 -> 22275 at sf0.01
+KTRUSS_ROUNDS = 2  # both peel rounds non-idempotent at sf0.01 AND sf0.1
+TFIDF_K = 3        # salient terms kept per document
 
 # ---------------------------------------------------------------------------
 # shared SQL building blocks (DuckDB oracle side)
@@ -334,6 +339,78 @@ SELECT round(r, 6) AS reciprocity,
              END, 6) AS assortativity
 FROM st
 """
+
+
+def _harmonic_sql(sources: list[int], depth: int) -> str:
+    """Harmonic-centrality unroll: one multi-source BFS over the
+    symmetrized link graph — the (s, v) frontier advances exactly like
+    _bfs_sql's with the source id carried along, then H(v) = Σ 1/depth
+    over the reached pairs (depth 0, v = s itself, excluded) — the
+    exact recursion of algos/harmonic.py."""
+    vals = ", ".join(f"({s})" for s in sources)
+    parts = [
+        "WITH " + EDGES_CTE.strip() + ",",
+        SYM_EDGES_CTE.strip() + ",",
+        f"""v0 AS MATERIALIZED (
+  SELECT s, s AS v, 0 AS depth FROM (VALUES {vals}) t(s)
+),
+f0 AS MATERIALIZED (SELECT s, v FROM v0)""",
+    ]
+    for d in range(1, depth + 1):
+        parts.append(
+            f""",
+c{d} AS MATERIALIZED (
+  SELECT DISTINCT f.s, e.dst AS v
+  FROM sedges e JOIN f{d-1} f ON e.src = f.v
+),
+n{d} AS MATERIALIZED (
+  SELECT c.s, c.v, {d} AS depth
+  FROM c{d} c LEFT JOIN v{d-1} p ON p.s = c.s AND p.v = c.v
+  WHERE p.v IS NULL
+),
+v{d} AS MATERIALIZED (SELECT * FROM v{d-1} UNION ALL SELECT * FROM n{d}),
+f{d} AS MATERIALIZED (SELECT s, v FROM n{d})"""
+        )
+    parts.append(
+        f"""
+SELECT v, round(sum(1.0 / depth), 6) AS harmonic
+FROM v{depth} WHERE depth > 0 GROUP BY v"""
+    )
+    return "\n".join(parts)
+
+
+def _ktruss_sql(k: int, rounds: int) -> str:
+    """k-truss peel unroll on the co-purchase graph: each round counts
+    per-edge triangle support (common neighbors of the edge's endpoints
+    in the SURVIVING subgraph) and keeps edges with support ≥ k−2 — the
+    exact peel sequence of algos/truss.py (where support comes from the
+    oriented wedge pipeline; per-edge triangle credit == common-neighbor
+    count, so the two formulations agree edge-for-edge)."""
+    parts = [
+        """WITH e0 AS MATERIALIZED (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+)"""
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f""",
+adj{r} AS MATERIALIZED (
+  SELECT u AS a, v AS b FROM e{r-1} UNION ALL SELECT v AS a, u AS b FROM e{r-1}
+),
+sup{r} AS MATERIALIZED (
+  SELECT e.u, e.v, count(*) AS c
+  FROM e{r-1} e JOIN adj{r} x ON x.a = e.u JOIN adj{r} y ON y.a = e.v AND y.b = x.b
+  GROUP BY e.u, e.v
+),
+e{r} AS MATERIALIZED (
+  SELECT e.u, e.v FROM e{r-1} e
+  JOIN sup{r} s ON s.u = e.u AND s.v = e.v AND s.c >= {k - 2}
+)"""
+        )
+    parts.append(f"\nSELECT u, v FROM e{rounds}")
+    return "\n".join(parts)
 
 
 def _kcore_sql(k: int, rounds: int) -> str:
@@ -902,6 +979,34 @@ SELECT doc_id,
                                ' +', ' ', 'g'))) AS fp
 FROM documents
 """
+
+def _tfidf_sql(k: int) -> str:
+    """tf-idf top-k unroll: tf × ln(N/df) with df = number of documents
+    containing the token, scores rounded to 6 decimals BEFORE the
+    per-doc rank window (ties break on the token) — the exact pipeline
+    of pipeline/text.py::tfidf_topk."""
+    return f"""
+WITH t AS MATERIALIZED (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+),
+tf AS MATERIALIZED (
+  SELECT doc_id, token, count(*) AS tf FROM t GROUP BY doc_id, token
+),
+dfq AS MATERIALIZED (SELECT token, count(*) AS df FROM tf GROUP BY token),
+n AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS c FROM documents),
+sc AS MATERIALIZED (
+  SELECT doc_id, token,
+         round(tf * ln((SELECT c FROM n) / df), 6) AS tfidf
+  FROM tf JOIN dfq USING (token)
+)
+SELECT doc_id, token, tfidf FROM (
+  SELECT doc_id, token, tfidf,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY tfidf DESC, token ASC) AS rn
+  FROM sc
+) WHERE rn <= {k}
+"""
+
 
 TOKEN_STATS_SQL = """
 WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents)
@@ -1956,6 +2061,36 @@ def q_katz(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_harmonic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Harmonic-centrality gate (algos/harmonic.py): Σ 1/d(s, v) over a
+    fixed 4-source batch to depth 4 — the sampled estimator web-scale
+    closeness runs (same batching shape as the betweenness gate)."""
+    from combblas_spark.algos.harmonic import harmonic_centrality
+
+    return harmonic_centrality(
+        spark, _graph(spark, sf_dir), sources=HARM_SOURCES, max_depth=HARM_DEPTH
+    )
+
+
+def q_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-truss gate (algos/truss.py): 2 support-peel rounds toward the
+    12-truss of the co-purchase graph — the edge-analogue of kcore and
+    the iterated consumer of the masked-SpGEMM wedge pipeline."""
+    from combblas_spark.algos.truss import ktruss_rounds
+
+    return ktruss_rounds(
+        spark, _copurchase_graph(spark, sf_dir), k=KTRUSS_K, rounds=KTRUSS_ROUNDS
+    )
+
+
+def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """tf-idf term-salience gate (pipeline/text.py::tfidf_topk): top-3
+    tf×ln(N/df) tokens per document."""
+    from combblas_spark.pipeline.text import tfidf_topk
+
+    return tfidf_topk(_docs(spark, sf_dir), k=TFIDF_K)
+
+
 def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     from combblas_spark.algos.kcore import kcore
 
@@ -2778,6 +2913,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clustering_coeff": q_clustering,
         "adamic_adar3": q_adamic_adar,
         "recip_assort": q_recip_assort,
+        "harmonic4": q_harmonic,
+        "ktruss12": q_ktruss,
+        "tfidf3": q_tfidf,
         "ppr5": q_ppr,
         "wpagerank5": q_wpagerank,
         "cc_as": q_cc_as,
@@ -2849,6 +2987,9 @@ def oracle_sql() -> dict[str, str]:
         "clustering_coeff": CLUSTERING_SQL,
         "adamic_adar3": _adamic_adar_sql(AA_K, AA_MAX_SRC),
         "recip_assort": RECIP_ASSORT_SQL,
+        "harmonic4": _harmonic_sql(HARM_SOURCES, HARM_DEPTH),
+        "ktruss12": _ktruss_sql(KTRUSS_K, KTRUSS_ROUNDS),
+        "tfidf3": _tfidf_sql(TFIDF_K),
         "ppr5": _ppr_sql(PR_ITERS, PPR_SEEDS),
         "wpagerank5": _wpagerank_sql(PR_ITERS),
         "cc_as": _cc_sql(CC_ROUNDS),

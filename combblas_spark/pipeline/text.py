@@ -392,3 +392,37 @@ def budget_select(
             F.coalesce("keep_full", "keep_b", F.lit(False)).alias("keep"),
         )
     )
+
+
+def tfidf_topk(docs: DataFrame, k: int = 3) -> DataFrame:
+    """(doc_id, token, tfidf) — the ``k`` highest tf-idf terms per
+    document (tf × ln(N/df)), the classic keyword/term-salience step
+    before indexing or topic bucketing.
+
+    Entirely JVM-side: one explode + two map-side-combined groupBys +
+    an O(n)-build token join; scores are exact scalars (no summation),
+    rounded to 6 decimals BEFORE the per-doc rank window so the top-k
+    boundary is engine-independent (ties break on the token)."""
+    from pyspark.sql import Window
+
+    toks = docs.select("doc_id", F.explode(tokens_col("text")).alias("token"))
+    tf = toks.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("token").agg(F.count("*").alias("df"))
+    n = docs.count()
+    scored = tf.join(dfreq.hint("shuffle_hash"), "token").select(
+        "doc_id",
+        "token",
+        F.round(
+            F.col("tf").cast("double")
+            * F.log(F.lit(float(n)) / F.col("df").cast("double")),
+            6,
+        ).alias("tfidf"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf").desc(), F.col("token").asc()
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .select("doc_id", "token", "tfidf")
+    )
