@@ -55,6 +55,10 @@ KATZ_ALPHA = 0.005  # << 1/λ_max on the link graph; keeps x values O(10)
 KATZ_BETA = 1.0
 AA_K = 3           # Adamic-Adar candidates kept per query vertex
 AA_MAX_SRC = 40    # deterministic query-side slice (part-id space)
+COLOR_SEED = 42    # same XXH64 priority chain as the mis gate/fixture
+COLOR_ROUNDS = 5   # converges in 3 rounds at sf0.01; extra rounds empty
+COLOR_CAP = 4      # rank-offset cap: 13 colors / 4 rounds at sf0.1 vs
+                   # pure mex's 14 colors / ~12 rounds (measured)
 HARM_SOURCES = [0, 1, 2, 3]  # harmonic-centrality source batch
 HARM_DEPTH = 4     # same truncation depth as the BFS gates
 KTRUSS_K = 12      # support >= 10: peels 115729 -> 69588 -> 22275 at sf0.01
@@ -1809,6 +1813,78 @@ MIS_ROUNDS = 10  # ≥ the Luby convergence round count at sf0.01 (extra
                  # rounds are empty CTEs — the unroll is convergence-safe)
 
 
+def _coloring_sql(rounds: int, cap: int) -> str:
+    """Speculative greedy-coloring unroll (algos/coloring.py): per
+    round every uncolored vertex picks the (min(r, cap)+1)-th color
+    absent from its colored neighborhood (r = higher-priority active
+    neighbors — the rank offset that de-serializes dense cores);
+    adjacent same-candidate vertices resolve by (pri, id) with the
+    loser retrying.  Priorities come from the pinned mis_priorities
+    fixture (the same pure-Python XXH64 chain the Spark side computes
+    live via F.xxhash64)."""
+    pri = _fixture("mis_priorities.parquet")
+    parts = [
+        "WITH " + EDGES_CTE.strip() + ",",
+        SYM_EDGES_CTE.strip() + ",",
+        f"""a0 AS MATERIALIZED (SELECT v, pri FROM read_parquet('{pri}')),
+c0 AS MATERIALIZED (
+  SELECT CAST(NULL AS BIGINT) AS v, CAST(NULL AS INTEGER) AS color WHERE FALSE
+)""",
+    ]
+    for k in range(1, rounds + 1):
+        parts.append(
+            f""",
+us{k} AS MATERIALIZED (
+  SELECT DISTINCT e.dst AS v, c.color
+  FROM sedges e JOIN c{k-1} c ON e.src = c.v JOIN a{k-1} a ON e.dst = a.v
+),
+rk{k} AS MATERIALIZED (
+  SELECT e.dst AS v, count(*) AS r
+  FROM sedges e JOIN a{k-1} s ON e.src = s.v JOIN a{k-1} t ON e.dst = t.v
+  WHERE s.pri > t.pri OR (s.pri = t.pri AND s.v > t.v)
+  GROUP BY e.dst
+),
+bb{k} AS MATERIALIZED (
+  SELECT a.v, a.pri,
+         least(coalesce(r.r, 0), {cap}) AS r,
+         coalesce(u.u, 0) AS u
+  FROM a{k-1} a
+  LEFT JOIN rk{k} r ON r.v = a.v
+  LEFT JOIN (SELECT v, count(*) AS u FROM us{k} GROUP BY v) u ON u.v = a.v
+),
+cn{k} AS MATERIALIZED (
+  SELECT v, pri, c AS cand FROM (
+    SELECT g.v, g.pri, g.r, g.c,
+           row_number() OVER (PARTITION BY g.v ORDER BY g.c) AS rn
+    FROM (
+      SELECT b.v, b.pri, b.r, gs.c
+      FROM bb{k} b, UNNEST(range(0, b.r + b.u + 1)) AS gs(c)
+    ) g
+    WHERE NOT EXISTS (SELECT 1 FROM us{k} u WHERE u.v = g.v AND u.color = g.c)
+  ) WHERE rn = r + 1
+),
+lo{k} AS MATERIALIZED (
+  SELECT DISTINCT e.dst AS v
+  FROM sedges e JOIN cn{k} s ON e.src = s.v JOIN cn{k} t ON e.dst = t.v
+  WHERE s.cand = t.cand
+    AND (s.pri > t.pri OR (s.pri = t.pri AND s.v > t.v))
+),
+w{k} AS MATERIALIZED (
+  SELECT c.v, CAST(c.cand AS INTEGER) AS color FROM cn{k} c
+  WHERE NOT EXISTS (SELECT 1 FROM lo{k} l WHERE l.v = c.v)
+),
+c{k} AS MATERIALIZED (
+  SELECT v, color FROM c{k-1} UNION ALL SELECT v, color FROM w{k}
+),
+a{k} AS MATERIALIZED (
+  SELECT a.v, a.pri FROM a{k-1} a
+  WHERE NOT EXISTS (SELECT 1 FROM w{k} w WHERE w.v = a.v)
+)"""
+        )
+    parts.append(f"\nSELECT v, color FROM c{rounds}")
+    return "\n".join(parts)
+
+
 def _mis_sql(rounds: int) -> str:
     """Luby MIS unrolled (FilteredMIS.cpp semantics, algos/mis.py):
     per round, a still-active vertex wins when its (pri, id) beats the
@@ -2582,6 +2658,17 @@ def q_mis(spark: SparkSession, sf_dir: str) -> DataFrame:
     return maximal_independent_set(spark, _graph(spark, sf_dir), seed=42)
 
 
+def q_coloring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy distance-1 coloring gate (algos/coloring.py): speculative
+    mex + priority conflict resolution over the same pinned-priority
+    chain as the mis gate; validity/palette invariants stay in tests."""
+    from combblas_spark.algos.coloring import greedy_coloring
+
+    return greedy_coloring(
+        spark, _graph(spark, sf_dir), seed=COLOR_SEED, offset_cap=COLOR_CAP
+    )
+
+
 MATCH_ROUNDS = 3
 
 
@@ -2973,6 +3060,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "moving_avg7": q_moving_avg,
         "cc_hist": q_cc_hist,
         "mis": q_mis,
+        "coloring": q_coloring,
     }
 
 
@@ -3041,6 +3129,7 @@ def oracle_sql() -> dict[str, str]:
         # pinned-fixture oracles (dist/oracle_fixtures, generated by the
         # independent pure-Python references in make_oracle_fixtures.py)
         "mis": _mis_sql(MIS_ROUNDS),
+        "coloring": _coloring_sql(COLOR_ROUNDS, COLOR_CAP),
         "bfs_rand4": _bfs_rand_sql(BFS_LEVELS, BFS_SRC),
         "minhash_lsh": _minhash_lsh_sql(),
         "simhash64": _simhash_sql(),
