@@ -59,6 +59,8 @@ COLOR_SEED = 42    # same XXH64 priority chain as the mis gate/fixture
 COLOR_ROUNDS = 5   # converges in 3 rounds at sf0.01; extra rounds empty
 COLOR_CAP = 4      # rank-offset cap: 13 colors / 4 rounds at sf0.1 vs
                    # pure mex's 14 colors / ~12 rounds (measured)
+WALK_LEN = 6       # DeepWalk-style corpus: one length-6 walk per vertex
+WALK_SEED = 1
 HARM_SOURCES = [0, 1, 2, 3]  # harmonic-centrality source batch
 HARM_DEPTH = 4     # same truncation depth as the BFS gates
 KTRUSS_K = 12      # support >= 10: peels 115729 -> 69588 -> 22275 at sf0.01
@@ -343,6 +345,41 @@ SELECT round(r, 6) AS reciprocity,
              END, 6) AS assortativity
 FROM st
 """
+
+
+def _walks_sql(walk_len: int, seed: int) -> str:
+    """Random-walk corpus unroll (algos/walks.py): per step the next
+    hop is the neighbor minimizing the multiplicative pairwise hash
+    ((A·walk + seed) mod P) · ((C·dst + B·t) mod P) mod P — both
+    factors reduced below 2³¹ first, so the arithmetic is exact plain
+    SQL on both engines and the oracle replays the identical choice
+    sequence with no pinned fixture."""
+    parts = [
+        "WITH " + EDGES_CTE.strip() + ",",
+        SYM_EDGES_CTE.strip() + ",",
+        "s0 AS MATERIALIZED (SELECT DISTINCT src AS walk, src AS at FROM sedges)",
+    ]
+    for t in range(1, walk_len + 1):
+        parts.append(
+            f""",
+s{t} AS MATERIALIZED (
+  SELECT walk, dst AS at FROM (
+    SELECT f.walk, e.dst,
+           row_number() OVER (
+             PARTITION BY f.walk
+             ORDER BY (((1103515245 * f.walk + {seed}) % 2147483647)
+                       * ((1013904223 * e.dst + {12_345 * t}) % 2147483647))
+                      % 2147483647, e.dst
+           ) AS rn
+    FROM sedges e JOIN s{t-1} f ON e.src = f.at
+  ) WHERE rn = 1
+)"""
+        )
+    union = "\nUNION ALL ".join(
+        f"SELECT walk, {t} AS step, at AS v FROM s{t}" for t in range(walk_len + 1)
+    )
+    parts.append("\n" + union)
+    return "\n".join(parts)
 
 
 def _harmonic_sql(sources: list[int], depth: int) -> str:
@@ -2137,6 +2174,17 @@ def q_katz(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Walk-corpus gate (algos/walks.py): one deterministic length-6
+    walk per vertex of the symmetrized link graph — the embedding-
+    training input materialization (DeepWalk corpus)."""
+    from combblas_spark.algos.walks import random_walks
+
+    return random_walks(
+        spark, _graph(spark, sf_dir), walk_len=WALK_LEN, seed=WALK_SEED
+    )
+
+
 def q_harmonic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Harmonic-centrality gate (algos/harmonic.py): Σ 1/d(s, v) over a
     fixed 4-source batch to depth 4 — the sampled estimator web-scale
@@ -3001,6 +3049,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "adamic_adar3": q_adamic_adar,
         "recip_assort": q_recip_assort,
         "harmonic4": q_harmonic,
+        "walks6": q_walks,
         "ktruss12": q_ktruss,
         "tfidf3": q_tfidf,
         "ppr5": q_ppr,
@@ -3076,6 +3125,7 @@ def oracle_sql() -> dict[str, str]:
         "adamic_adar3": _adamic_adar_sql(AA_K, AA_MAX_SRC),
         "recip_assort": RECIP_ASSORT_SQL,
         "harmonic4": _harmonic_sql(HARM_SOURCES, HARM_DEPTH),
+        "walks6": _walks_sql(WALK_LEN, WALK_SEED),
         "ktruss12": _ktruss_sql(KTRUSS_K, KTRUSS_ROUNDS),
         "tfidf3": _tfidf_sql(TFIDF_K),
         "ppr5": _ppr_sql(PR_ITERS, PPR_SEEDS),
