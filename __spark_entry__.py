@@ -61,6 +61,8 @@ COLOR_CAP = 4      # rank-offset cap: 13 colors / 4 rounds at sf0.1 vs
                    # pure mex's 14 colors / ~12 rounds (measured)
 WALK_LEN = 6       # DeepWalk-style corpus: one length-6 walk per vertex
 WALK_SEED = 1
+MST_ROUNDS = 4     # Borůvka converges in 2 rounds at sf0.01 AND sf0.1
+MST_JUMPS = 6      # per-round pointer-jump unroll (measured ≤ 4, 2^6 depth margin)
 HARM_SOURCES = [0, 1, 2, 3]  # harmonic-centrality source batch
 HARM_DEPTH = 4     # same truncation depth as the BFS gates
 KTRUSS_K = 12      # support >= 10: peels 115729 -> 69588 -> 22275 at sf0.01
@@ -379,6 +381,72 @@ s{t} AS MATERIALIZED (
         f"SELECT walk, {t} AS step, at AS v FROM s{t}" for t in range(walk_len + 1)
     )
     parts.append("\n" + union)
+    return "\n".join(parts)
+
+
+def _mst_sql(rounds: int, jumps: int) -> str:
+    """Borůvka unroll (algos/mst.py): per round each component's min
+    outgoing edge under (w, u, v), mutual-pair hooks broken at the
+    smaller id, then ``jumps`` pointer-jump compositions contract the
+    hook forest (idempotent at the fixpoint — roots map to themselves,
+    so extra jumps and extra rounds are no-ops)."""
+    parts = [
+        "WITH " + EDGES_CTE.strip() + ",",
+        """e0 AS MATERIALIZED (
+  SELECT least(src, dst) AS u, greatest(src, dst) AS v, min(w) AS w
+  FROM edges GROUP BY 1, 2
+),
+cp0 AS MATERIALIZED (
+  SELECT x AS vtx, x AS c FROM (
+    SELECT u AS x FROM e0 UNION SELECT v AS x FROM e0
+  )
+)""",
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f""",
+cr{r} AS MATERIALIZED (
+  SELECT e.u, e.v, e.w, a.c AS cu, b.c AS cv
+  FROM e0 e JOIN cp{r-1} a ON a.vtx = e.u JOIN cp{r-1} b ON b.vtx = e.v
+  WHERE a.c <> b.c
+),
+cd{r} AS MATERIALIZED (
+  SELECT cu AS c, cv AS oc, w, u, v FROM cr{r}
+  UNION ALL SELECT cv AS c, cu AS oc, w, u, v FROM cr{r}
+),
+sl{r} AS MATERIALIZED (
+  SELECT c, oc, w, u, v FROM (
+    SELECT *, row_number() OVER (PARTITION BY c ORDER BY w, u, v) AS rn
+    FROM cd{r}
+  ) WHERE rn = 1
+),
+pr{r} AS MATERIALIZED (
+  SELECT s.c,
+         CASE WHEN q.oc = s.c AND s.c < s.oc THEN s.c ELSE s.oc END AS p
+  FROM sl{r} s LEFT JOIN sl{r} q ON q.c = s.oc
+),
+p{r}_0 AS MATERIALIZED (
+  SELECT d.c, coalesce(pr.p, d.c) AS p
+  FROM (SELECT DISTINCT c FROM cp{r-1}) d LEFT JOIN pr{r} pr ON pr.c = d.c
+)"""
+        )
+        for j in range(1, jumps + 1):
+            parts.append(
+                f""",
+p{r}_{j} AS MATERIALIZED (
+  SELECT x.c, y.p FROM p{r}_{j-1} x JOIN p{r}_{j-1} y ON x.p = y.c
+)"""
+            )
+        parts.append(
+            f""",
+cp{r} AS MATERIALIZED (
+  SELECT m.vtx, y.p AS c FROM cp{r-1} m JOIN p{r}_{jumps} y ON y.c = m.c
+)"""
+        )
+    union = "\n  UNION ALL ".join(
+        f"SELECT u, v, w FROM sl{r}" for r in range(1, rounds + 1)
+    )
+    parts.append(f"\nSELECT DISTINCT u, v, w FROM (\n  {union}\n)")
     return "\n".join(parts)
 
 
@@ -2174,6 +2242,17 @@ def q_katz(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_mst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimum-spanning-forest gate (algos/mst.py): Borůvka rounds on
+    the weighted link graph.  At small SF most multiplicities are 1,
+    so the gate primarily certifies the deterministic (w, u, v)
+    total-order selection and the hook/contract machinery; weight
+    ordering itself is pinned by pytest on distinct-weight fixtures."""
+    from combblas_spark.algos.mst import boruvka_mst
+
+    return boruvka_mst(spark, _graph(spark, sf_dir))
+
+
 def q_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Walk-corpus gate (algos/walks.py): one deterministic length-6
     walk per vertex of the symmetrized link graph — the embedding-
@@ -3050,6 +3129,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "recip_assort": q_recip_assort,
         "harmonic4": q_harmonic,
         "walks6": q_walks,
+        "mst": q_mst,
         "ktruss12": q_ktruss,
         "tfidf3": q_tfidf,
         "ppr5": q_ppr,
@@ -3126,6 +3206,7 @@ def oracle_sql() -> dict[str, str]:
         "recip_assort": RECIP_ASSORT_SQL,
         "harmonic4": _harmonic_sql(HARM_SOURCES, HARM_DEPTH),
         "walks6": _walks_sql(WALK_LEN, WALK_SEED),
+        "mst": _mst_sql(MST_ROUNDS, MST_JUMPS),
         "ktruss12": _ktruss_sql(KTRUSS_K, KTRUSS_ROUNDS),
         "tfidf3": _tfidf_sql(TFIDF_K),
         "ppr5": _ppr_sql(PR_ITERS, PPR_SEEDS),

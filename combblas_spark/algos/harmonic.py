@@ -43,19 +43,33 @@ def harmonic_centrality(
     edges = e.distinct().repartition(g.n_partitions, SRC).cache()
     edges.count()
 
+    from ..operators.spmv import broadcast_nnz_cutoff
+
+    # the checkpointed frontier/visited slices hide size stats from
+    # Catalyst (LogicalRDD reports defaultSizeInBytes), which silently
+    # turns both per-level joins into sort-merge over the cached edge
+    # table — broadcast them explicitly while the running (s, v) pair
+    # count stays under the SpMSpV bytes cutoff (the BFS/MIS switch)
+    cutoff = broadcast_nnz_cutoff(spark)
+    n_pairs = len(sources)
+
+    def _maybe_b(df: DataFrame) -> DataFrame:
+        return F.broadcast(df) if n_pairs < cutoff else df
+
     frontier = spark.createDataFrame(
         [(s, s) for s in sources], schema="s long, v long"
     )
     visited = frontier.withColumn("depth", F.lit(0))
     for d in range(1, max_depth + 1):
         nxt = (
-            edges.join(frontier, edges[SRC] == frontier["v"], "inner")
+            edges.join(_maybe_b(frontier), edges[SRC] == frontier["v"], "inner")
             .select("s", F.col(DST).alias("v"))
             .distinct()
-            .join(visited.select("s", "v"), ["s", "v"], "left_anti")
+            .join(_maybe_b(visited.select("s", "v")), ["s", "v"], "left_anti")
             .withColumn("depth", F.lit(d))
             .localCheckpoint(eager=True)
         )
+        n_pairs += nxt.count()
         visited = visited.unionByName(nxt)
         frontier = nxt.select("s", "v")
     return (
