@@ -63,6 +63,8 @@ WALK_LEN = 6       # DeepWalk-style corpus: one length-6 walk per vertex
 WALK_SEED = 1
 MST_ROUNDS = 4     # Borůvka converges in 2 rounds at sf0.01 AND sf0.1
 MST_JUMPS = 6      # per-round pointer-jump unroll (measured ≤ 4, 2^6 depth margin)
+BOWTIE_LEVELS = 20  # reach fixpoint at sf0.01: fwd depth 10 / bwd 15 (margin;
+                    # the frontier union is monotone, extra levels are no-ops)
 HARM_SOURCES = [0, 1, 2, 3]  # harmonic-centrality source batch
 HARM_DEPTH = 4     # same truncation depth as the BFS gates
 KTRUSS_K = 12      # support >= 10: peels 115729 -> 69588 -> 22275 at sf0.01
@@ -447,6 +449,58 @@ cp{r} AS MATERIALIZED (
         f"SELECT u, v, w FROM sl{r}" for r in range(1, rounds + 1)
     )
     parts.append(f"\nSELECT DISTINCT u, v, w FROM (\n  {union}\n)")
+    return "\n".join(parts)
+
+
+def _bowtie_sql(levels: int) -> str:
+    """Bowtie oracle (algos/bowtie.py): rebuild the thinned directed
+    event graph with the identical SQL rule, pick the max-out-degree
+    root, then unroll BOTH reachability sweeps ``levels`` deep (the
+    running set is monotone, so levels past the fixpoint are no-ops)
+    and case-split CORE/IN/OUT/OTHER."""
+    parts = [
+        """WITH tedges AS MATERIALIZED (
+  SELECT DISTINCT a.user_id AS src, b.user_id AS dst
+  FROM events a JOIN events b
+    ON a.event_type = b.event_type AND b.event_id = a.event_id + 1
+  WHERE a.user_id <> b.user_id
+    AND (a.user_id * 131 + b.user_id * 17) % 7 = 0
+),
+rt AS MATERIALIZED (
+  SELECT src AS r FROM tedges GROUP BY src
+  ORDER BY count(*) DESC, src LIMIT 1
+),
+fw0 AS MATERIALIZED (SELECT r AS v FROM rt),
+bw0 AS MATERIALIZED (SELECT r AS v FROM rt)""",
+    ]
+    for k in range(1, levels + 1):
+        parts.append(
+            f""",
+fw{k} AS MATERIALIZED (
+  SELECT v FROM fw{k-1}
+  UNION
+  SELECT e.dst AS v FROM tedges e JOIN fw{k-1} x ON e.src = x.v
+),
+bw{k} AS MATERIALIZED (
+  SELECT v FROM bw{k-1}
+  UNION
+  SELECT e.src AS v FROM tedges e JOIN bw{k-1} x ON e.dst = x.v
+)"""
+        )
+    parts.append(
+        f""",
+verts AS MATERIALIZED (
+  SELECT src AS v FROM tedges UNION SELECT dst AS v FROM tedges
+)
+SELECT verts.v,
+       CASE WHEN f.v IS NOT NULL AND b.v IS NOT NULL THEN 'CORE'
+            WHEN b.v IS NOT NULL THEN 'IN'
+            WHEN f.v IS NOT NULL THEN 'OUT'
+            ELSE 'OTHER' END AS region
+FROM verts
+LEFT JOIN fw{levels} f ON f.v = verts.v
+LEFT JOIN bw{levels} b ON b.v = verts.v"""
+    )
     return "\n".join(parts)
 
 
@@ -2253,6 +2307,25 @@ def q_mst(spark: SparkSession, sf_dir: str) -> DataFrame:
     return boruvka_mst(spark, _graph(spark, sf_dir))
 
 
+def q_bowtie(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broder bowtie decomposition (algos/bowtie.py) of the thinned
+    directed user-event graph: per-vertex CORE/IN/OUT/OTHER labels
+    relative to the max-out-degree root.  At sf0.01 all four regions
+    are populated (87/19/14/26 over 146 vertices), so the gate is
+    non-vacuous for both sweeps and the label case-split."""
+    from combblas_spark.algos.bowtie import bowtie_decompose
+    from combblas_spark.sources.tables import event_link_edges
+
+    edges = event_link_edges(spark, sf_dir)
+    root = (
+        edges.groupBy("src")
+        .agg(F.count("*").alias("d"))
+        .orderBy(F.desc("d"), F.asc("src"))
+        .first()[0]
+    )  # single-row seed collect, same precedent as the BFS/MD gates
+    return bowtie_decompose(spark, edges, int(root))
+
+
 def q_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Walk-corpus gate (algos/walks.py): one deterministic length-6
     walk per vertex of the symmetrized link graph — the embedding-
@@ -3130,6 +3203,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "harmonic4": q_harmonic,
         "walks6": q_walks,
         "mst": q_mst,
+        "bowtie": q_bowtie,
         "ktruss12": q_ktruss,
         "tfidf3": q_tfidf,
         "ppr5": q_ppr,
@@ -3207,6 +3281,7 @@ def oracle_sql() -> dict[str, str]:
         "harmonic4": _harmonic_sql(HARM_SOURCES, HARM_DEPTH),
         "walks6": _walks_sql(WALK_LEN, WALK_SEED),
         "mst": _mst_sql(MST_ROUNDS, MST_JUMPS),
+        "bowtie": _bowtie_sql(BOWTIE_LEVELS),
         "ktruss12": _ktruss_sql(KTRUSS_K, KTRUSS_ROUNDS),
         "tfidf3": _tfidf_sql(TFIDF_K),
         "ppr5": _ppr_sql(PR_ITERS, PPR_SEEDS),

@@ -94,3 +94,39 @@ def user_event_graph(spark: SparkSession, sf_dir: str, n_partitions: int = 32) -
         .distinct()
     )
     return Graph(edges=e.repartition(n_partitions, "src"), n_partitions=n_partitions)
+
+
+def event_link_edges(
+    spark: SparkSession, sf_dir: str, mod: int = 7
+) -> DataFrame:
+    """Directed user→user edge list from consecutive same-type events,
+    thinned by a deterministic per-edge hash (keep when
+    (src·131 + dst·17) mod ``mod`` = 0).
+
+    The dense consecutive-event graph is strongly connected at every
+    SF, which makes reachability analyses (bowtie) vacuous; the thinned
+    graph keeps a giant SCC plus genuine IN/OUT/tendril mass — the
+    Broder web shape — while staying a pure column expression the
+    DuckDB oracle replays verbatim.  Scan reads three columns; the
+    self-equijoin on (event_type, event_id+1) hash-partitions on
+    event_type, and the thinning filter sits under the distinct so the
+    exchange only carries surviving pairs.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type"
+    )
+    a, b = ev.alias("a"), ev.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.event_type") == F.col("b.event_type"))
+            & (F.col("b.event_id") == F.col("a.event_id") + 1),
+        )
+        .select(
+            F.col("a.user_id").alias("src"),
+            F.col("b.user_id").alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .filter((F.col("src") * 131 + F.col("dst") * 17) % mod == 0)
+        .distinct()
+    )
