@@ -80,7 +80,17 @@ def bowtie_decompose(
 
     The root must sit in the component of interest (callers pick the
     max-out-degree vertex — a giant-SCC member with overwhelming
-    probability on a crawl graph, and deterministic)."""
+    probability on a crawl graph, and deterministic).
+
+    Both sweeps run FUSED in one loop — the frontier carries a
+    direction tag, each superstep advances forward and backward rows
+    in a single union job, so the loop runs max(fwd_depth, bwd_depth)
+    driver actions instead of their sum.  Per-iteration driver cost is
+    the scaling bottleneck this engine measures (BASELINE.md, north
+    rule), so halving the round count matters more than the per-round
+    work it adds."""
+    from ..operators.spmv import broadcast_nnz_cutoff
+
     e = (
         edges.select(SRC, DST)
         .distinct()
@@ -88,9 +98,40 @@ def bowtie_decompose(
         .cache()
     )
     e.count()
+    cutoff = broadcast_nnz_cutoff(spark)
 
-    fwd = reachable_set(spark, e, root, reverse=False, max_iter=max_iter)
-    bwd = reachable_set(spark, e, root, reverse=True, max_iter=max_iter)
+    # d = 0: forward sweep (root →), d = 1: backward sweep (→ root)
+    visited = spark.createDataFrame(
+        [(root, 0), (root, 1)], schema="v long, d int"
+    )
+    frontier, frontier_size, it = visited, 2, 0
+    while frontier_size > 0 and it < max_iter:
+        it += 1
+        def _side(d: int) -> DataFrame:
+            s = frontier.filter(F.col("d") == d).select("v")
+            return F.broadcast(s) if frontier_size < cutoff else s
+
+        ff, bf = _side(0), _side(1)
+        fnew = e.join(ff, e[SRC] == ff["v"], "inner").select(
+            F.col(DST).alias("v"), F.lit(0).alias("d")
+        )
+        bnew = e.join(bf, e[DST] == bf["v"], "inner").select(
+            F.col(SRC).alias("v"), F.lit(1).alias("d")
+        )
+        new = (
+            fnew.unionByName(bnew)
+            .distinct()
+            .join(visited, ["v", "d"], "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        frontier_size = new.count()
+        if frontier_size == 0:
+            break
+        visited = visited.unionByName(new).localCheckpoint(eager=True)
+        frontier = new
+
+    fwd = visited.filter(F.col("d") == 0).select("v")
+    bwd = visited.filter(F.col("d") == 1).select("v")
 
     verts = (
         e.select(F.col(SRC).alias("v"))
