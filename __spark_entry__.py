@@ -70,6 +70,9 @@ HARM_DEPTH = 4     # same truncation depth as the BFS gates
 KTRUSS_K = 12      # support >= 10: peels 115729 -> 69588 -> 22275 at sf0.01
 KTRUSS_ROUNDS = 2  # both peel rounds non-idempotent at sf0.01 AND sf0.1
 TFIDF_K = 3        # salient terms kept per document
+ANF_H = 4          # neighborhood-function sketch depth (hops)
+SPAN_TOKENS = 5    # C4-style span width for cross-document span dedup
+URL_N = 256        # synthetic crawl size for the URL-canonicalization gate
 
 # ---------------------------------------------------------------------------
 # shared SQL building blocks (DuckDB oracle side)
@@ -321,6 +324,200 @@ SELECT u, v, score FROM (
          row_number() OVER (PARTITION BY u ORDER BY score DESC, v ASC) AS rn
   FROM masked
 ) WHERE rn <= {k}
+"""
+
+
+def _jaccard_links_sql(k: int, max_src: int) -> str:
+    """Jaccard link prediction (algos/linkpred.py jaccard_topk): the
+    same wedge join as Adamic-Adar with a constant-1 semiring and a
+    union-size normalization — common / (deg(u) + deg(v) - common),
+    complement-of-A mask, score rounded BEFORE the rank window."""
+    return f"""
+WITH und AS MATERIALIZED (
+  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+),
+deg AS MATERIALIZED (SELECT src AS v, count(*) AS deg FROM und GROUP BY src),
+cn AS MATERIALIZED (
+  SELECT e1.src AS u, e2.dst AS v, count(*) AS cn
+  FROM und e1 JOIN und e2 ON e1.dst = e2.src
+  WHERE e1.src <= {max_src} AND e1.src <> e2.dst
+  GROUP BY e1.src, e2.dst
+),
+sc AS MATERIALIZED (
+  SELECT cn.u, cn.v,
+         round(CAST(cn.cn AS DOUBLE) / (du.deg + dv.deg - cn.cn), 6) AS score
+  FROM cn JOIN deg du ON du.v = cn.u JOIN deg dv ON dv.v = cn.v
+),
+masked AS MATERIALIZED (
+  SELECT u, v, score FROM sc
+  WHERE NOT EXISTS (SELECT 1 FROM und WHERE und.src = sc.u AND und.dst = sc.v)
+)
+SELECT u, v, score FROM (
+  SELECT u, v, score,
+         row_number() OVER (PARTITION BY u ORDER BY score DESC, v ASC) AS rn
+  FROM masked
+) WHERE rn <= {k}
+"""
+
+
+def _anf_sql(h: int) -> str:
+    """ANF / neighborhood function (algos/anf.py): the OR-semiring
+    SpMV unrolled — per-vertex Flajolet-Martin registers from the
+    pinned affine hash chain, ``bit_or`` merges over neighbors per hop,
+    and the 2^(mean lowest-zero-bit)/φ estimate grouped on the integer
+    register sum so the float total is order-insensitive."""
+    from combblas_spark.algos.anf import CONSTS, MAX_BIT, P, PHI, R
+
+    regs = []
+    for r, (a, b) in enumerate(CONSTS):
+        hh = f"(({a} * v + {b}) % {P})"
+        pos = f"least(bit_count(({hh} & -({hh})) - 1), {MAX_BIT})"
+        regs.append(f"CAST(1 AS BIGINT) << ({pos}) AS m{r}")
+    reg_cols = ",\n         ".join(regs)
+    tsum = " + ".join(f"(bit_count(xor(m{r}, m{r} + 1)) - 1)" for r in range(R))
+    parts = [
+        f"""
+WITH und AS MATERIALIZED (
+  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+),
+b0 AS MATERIALIZED (
+  SELECT v, {reg_cols}
+  FROM (SELECT DISTINCT src AS v FROM und)
+)"""
+    ]
+    for s in range(1, h + 1):
+        ors = ", ".join(f"bit_or(b.m{r}) AS o{r}" for r in range(R))
+        merged = ", ".join(
+            f"(p.m{r} | coalesce(c.o{r}, 0)) AS m{r}" for r in range(R)
+        )
+        parts.append(
+            f""",
+c{s} AS MATERIALIZED (
+  SELECT e.src AS v, {ors}
+  FROM und e JOIN b{s - 1} b ON e.dst = b.v GROUP BY e.src
+),
+b{s} AS MATERIALIZED (
+  SELECT p.v, {merged} FROM b{s - 1} p LEFT JOIN c{s} c USING (v)
+)"""
+        )
+    ests = []
+    for s in range(h + 1):
+        ests.append(
+            f"""
+SELECT {s} AS hop, round(sum(cnt * pow(2.0, tsum / {float(R)})) / {PHI}, 2) AS nf
+FROM (SELECT tsum, count(*) AS cnt
+      FROM (SELECT ({tsum}) AS tsum FROM b{s}) GROUP BY tsum)"""
+        )
+    parts.append("\nUNION ALL".join(ests))
+    return "".join(parts)
+
+
+_URL_CANON_SQL = (
+    "regexp_replace(regexp_replace(regexp_replace(regexp_replace("
+    "lower(url), '^[a-z]+://', ''), '^www\\.', ''), '[#?].*$', ''), '/$', '')"
+)
+
+
+def _url_dedup_sql(n: int) -> str:
+    """URL canonicalization + recrawl dedup (pipeline/web.py): the
+    synthetic crawl re-derived from the pure url rule
+    (sources/pages.py page_url) plus the two deterministic variant
+    families the Spark gate derives, collapsed through the identical
+    regexp canonicalization chain (URL_CANON_STEPS)."""
+    return f"""
+WITH ids AS MATERIALIZED (SELECT i FROM generate_series(0, {n - 1}) t(i)),
+base AS MATERIALIZED (
+  SELECT 'https://site' || (i % 97) || '.example/p' || i AS url, i AS ver
+  FROM ids
+),
+crawls AS MATERIALIZED (
+  SELECT url, ver FROM base
+  UNION ALL
+  SELECT 'HTTPS://WWW.' || upper('site' || (i % 97) || '.example/p' || i)
+         || '/?utm_source=rss#frag' AS url, i + 1000000 AS ver
+  FROM ids WHERE i % 3 = 0
+  UNION ALL
+  SELECT 'http://site' || (i % 97) || '.example/p' || i || '#top' AS url,
+         i + 2000000 AS ver
+  FROM ids WHERE i % 7 = 0
+)
+SELECT canon_url, count(*) AS n_crawls, max(ver) AS last_ver
+FROM (SELECT {_URL_CANON_SQL} AS canon_url, ver FROM crawls)
+GROUP BY canon_url
+"""
+
+
+def _span_dedup_sql(span_tokens: int) -> str:
+    """Cross-document span-dedup survivorship (pipeline/web.py
+    span_dedup): non-overlapping ``span_tokens``-token spans, corpus-
+    wide first occurrence by (doc_id, span_idx), per-doc keep stats."""
+    w = span_tokens
+    return f"""
+WITH t AS MATERIALIZED (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+),
+u AS MATERIALIZED (
+  SELECT doc_id, unnest(toks) AS tok, generate_subscripts(toks, 1) AS ord
+  FROM t
+),
+s AS MATERIALIZED (
+  SELECT doc_id, CAST((ord - 1) // {w} AS BIGINT) AS span_idx,
+         string_agg(tok, ' ' ORDER BY ord) AS span
+  FROM u GROUP BY doc_id, (ord - 1) // {w}
+),
+k AS MATERIALIZED (
+  SELECT doc_id,
+         row_number() OVER (PARTITION BY span ORDER BY doc_id, span_idx) AS rn
+  FROM s
+)
+SELECT doc_id, count(*) AS n_spans,
+       sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS n_kept,
+       round(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END)
+             / CAST(count(*) AS DOUBLE), 4) AS keep_frac
+FROM k GROUP BY doc_id
+"""
+
+
+def _pii_scrub_sql() -> str:
+    """PII scrub (pipeline/web.py): deterministic PII injection from
+    doc_id arithmetic (both engines build the identical string), then
+    the same RE2/Java-compatible patterns counted on the original text
+    and replaced in declaration order; the scrubbed text is compared
+    via md5."""
+    from combblas_spark.pipeline.web import PII_PATTERNS
+
+    (_, em_pat, em_rep), (_, ip_pat, ip_rep), (_, ph_pat, ph_rep) = PII_PATTERNS
+    return f"""
+WITH inj AS MATERIALIZED (
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 2 = 0
+                 THEN ' contact user' || (doc_id % 50) || '@mail'
+                      || (doc_id % 7) || '.example'
+                 ELSE '' END
+         || CASE WHEN doc_id % 3 > 0
+                 THEN ' ip 10.' || (doc_id % 256) || '.0.' || (doc_id % 100)
+                 ELSE '' END
+         || ' call +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+         || CASE WHEN doc_id % 5 = 0
+                 THEN ' or +1-555-' || lpad(CAST((doc_id + 1) % 10000 AS VARCHAR), 4, '0')
+                 ELSE '' END
+         AS txt
+  FROM documents
+)
+SELECT doc_id,
+       len(regexp_extract_all(txt, '{em_pat}')) AS n_email,
+       len(regexp_extract_all(txt, '{ip_pat}')) AS n_ip,
+       len(regexp_extract_all(txt, '{ph_pat}')) AS n_phone,
+       md5(regexp_replace(regexp_replace(regexp_replace(
+           txt, '{em_pat}', '{em_rep}', 'g'),
+                '{ip_pat}', '{ip_rep}', 'g'),
+                '{ph_pat}', '{ph_rep}', 'g')) AS scrub_md5
+FROM inj
 """
 
 
@@ -2453,6 +2650,111 @@ def q_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_jaccard_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jaccard link-prediction gate (algos/linkpred.py jaccard_topk):
+    top-3 related vertices per query vertex — the constant-1 wedge
+    semiring normalized by neighborhood-union size."""
+    from combblas_spark.algos.linkpred import jaccard_topk
+
+    return jaccard_topk(
+        spark, _copurchase_graph(spark, sf_dir), k=AA_K, max_src=AA_MAX_SRC
+    )
+
+
+def q_anf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANF / neighborhood-function gate (algos/anf.py): N(0)..N(4) via
+    OR-semiring Flajolet-Martin sketch SpMV — deterministic affine
+    hash, so the approximate estimator is bit-exact vs the oracle."""
+    from combblas_spark.algos.anf import neighborhood_function
+
+    return neighborhood_function(spark, _copurchase_graph(spark, sf_dir), h=ANF_H)
+
+
+def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization + recrawl-dedup gate (pipeline/web.py):
+    the synthetic crawl (sources/pages.py) plus two deterministic
+    variant families (uppercase www + tracking-query recrawl, http
+    mirror with fragment) collapsed to one row per canonical URL,
+    latest capture winning."""
+    from combblas_spark.pipeline.web import crawl_dedup
+    from combblas_spark.sources.pages import synth_pages
+
+    pages = synth_pages(spark, URL_N, seed=42, n_partitions=4)
+    pid = F.regexp_extract(F.col("url"), "p([0-9]+)$", 1).cast("long")
+    base = pages.select("url", pid.alias("ver"))
+    stripped = F.regexp_replace(F.col("url"), "^https://", "")
+    recrawl = base.filter(F.col("ver") % 3 == 0).select(
+        F.concat(
+            F.lit("HTTPS://WWW."), F.upper(stripped), F.lit("/?utm_source=rss#frag")
+        ).alias("url"),
+        (F.col("ver") + 1000000).alias("ver"),
+    )
+    mirror = base.filter(F.col("ver") % 7 == 0).select(
+        F.concat(F.lit("http://"), stripped, F.lit("#top")).alias("url"),
+        (F.col("ver") + 2000000).alias("ver"),
+    )
+    return crawl_dedup(base.unionByName(recrawl).unionByName(mirror), "ver")
+
+
+def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style cross-document span-dedup gate (pipeline/web.py):
+    per-document survivorship after corpus-wide first-occurrence
+    filtering of 5-token spans."""
+    from combblas_spark.pipeline.web import span_dedup
+
+    return span_dedup(_docs(spark, sf_dir), span_tokens=SPAN_TOKENS)
+
+
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing gate (pipeline/web.py): deterministic doc_id-
+    derived PII injection (emails / IPv4s / phone numbers with varying
+    multiplicity), JVM regexp counting + typed-placeholder replacement;
+    scrubbed text compared via md5."""
+    from combblas_spark.pipeline.web import pii_scrub
+
+    docs = _docs(spark, sf_dir)
+    did = F.col("doc_id")
+    txt = F.concat(
+        F.col("text"),
+        F.when(
+            did % 2 == 0,
+            F.concat(
+                F.lit(" contact user"),
+                (did % 50).cast("string"),
+                F.lit("@mail"),
+                (did % 7).cast("string"),
+                F.lit(".example"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 3 > 0,
+            F.concat(
+                F.lit(" ip 10."),
+                (did % 256).cast("string"),
+                F.lit(".0."),
+                (did % 100).cast("string"),
+            ),
+        ).otherwise(F.lit("")),
+        F.concat(F.lit(" call +1-555-"), F.lpad((did % 10000).cast("string"), 4, "0")),
+        F.when(
+            did % 5 == 0,
+            F.concat(
+                F.lit(" or +1-555-"),
+                F.lpad(((did + 1) % 10000).cast("string"), 4, "0"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    inj = docs.select("doc_id", txt.alias("text"))
+    out = pii_scrub(inj)
+    return out.select(
+        "doc_id",
+        "n_email",
+        "n_ip",
+        "n_phone",
+        F.md5("scrubbed").alias("scrub_md5"),
+    )
+
+
 def q_recip_assort(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Digraph shape-metrics gate (reciprocity + degree assortativity,
     operators/reduce.py) on the line-number-ordered co-purchase
@@ -3199,6 +3501,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "katz5": q_katz,
         "clustering_coeff": q_clustering,
         "adamic_adar3": q_adamic_adar,
+        "jaccard_lp3": q_jaccard_links,
+        "anf4": q_anf,
         "recip_assort": q_recip_assort,
         "harmonic4": q_harmonic,
         "walks6": q_walks,
@@ -3234,6 +3538,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture": q_mixture,
         "vocab15": q_vocab,
         "lang_id": q_lang_id,
+        "url_dedup": q_url_dedup,
+        "span_dedup": q_span_dedup,
+        "pii_scrub": q_pii_scrub,
         "quality": q_quality,
         "fingerprint": q_fingerprint,
         "token_stats": q_token_stats,
@@ -3277,6 +3584,8 @@ def oracle_sql() -> dict[str, str]:
         "katz5": _katz_sql(PR_ITERS, KATZ_ALPHA, KATZ_BETA),
         "clustering_coeff": CLUSTERING_SQL,
         "adamic_adar3": _adamic_adar_sql(AA_K, AA_MAX_SRC),
+        "jaccard_lp3": _jaccard_links_sql(AA_K, AA_MAX_SRC),
+        "anf4": _anf_sql(ANF_H),
         "recip_assort": RECIP_ASSORT_SQL,
         "harmonic4": _harmonic_sql(HARM_SOURCES, HARM_DEPTH),
         "walks6": _walks_sql(WALK_LEN, WALK_SEED),
@@ -3311,6 +3620,9 @@ def oracle_sql() -> dict[str, str]:
         "mixture": _mixture_sql(),
         "vocab15": VOCAB_SQL,
         "lang_id": _lang_id_sql(),
+        "url_dedup": _url_dedup_sql(URL_N),
+        "span_dedup": _span_dedup_sql(SPAN_TOKENS),
+        "pii_scrub": _pii_scrub_sql(),
         "quality": _quality_sql(),
         "fingerprint": FINGERPRINT_SQL,
         "token_stats": TOKEN_STATS_SQL,

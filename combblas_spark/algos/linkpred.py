@@ -89,3 +89,81 @@ def adamic_adar_topk(
         .filter(F.col("_rn") <= k)
         .select("u", "v", "score")
     )
+
+
+def jaccard_topk(
+    spark: SparkSession,
+    g: Graph,
+    k: int = 3,
+    max_src: int | None = None,
+    max_neighbor_degree: int | None = None,
+) -> DataFrame:
+    """Top-``k`` Jaccard link-prediction candidates per query vertex.
+
+        J(u, v) = |Γ(u) ∩ Γ(v)| / |Γ(u) ∪ Γ(v)|
+                = common / (deg(u) + deg(v) - common)
+
+    The companion of :func:`adamic_adar_topk` (same masked-SpGEMM wedge
+    join, the semiring's "times" is the constant 1 and the score is
+    normalized by the union size afterwards) — the second classic
+    common-neighbor score a reference user would reach for
+    (KDT/CombBLAS expose the wedge primitive; the normalization is a
+    two-broadcast-join epilogue).  Same caps, same determinism contract:
+    round before the rank window, ties break on candidate id.
+    """
+    sym = (
+        g.edges.select(SRC, DST)
+        .unionByName(g.edges.select(F.col(DST).alias(SRC), F.col(SRC).alias(DST)))
+        .filter(F.col(SRC) != F.col(DST))
+        .distinct()
+        .cache()
+    )
+    deg = sym.groupBy(F.col(SRC).alias("v")).agg(F.count("*").alias("deg"))
+
+    e1 = sym.alias("e1")
+    if max_src is not None:
+        e1 = e1.filter(F.col(SRC) <= max_src)
+    e2 = sym.alias("e2").hint("shuffle_hash")
+    wedges = e1.join(e2, F.col("e1.dst") == F.col("e2.src")).filter(
+        F.col("e1.src") != F.col("e2.dst")
+    )
+    if max_neighbor_degree is not None:
+        zdeg = deg.withColumnRenamed("v", "z").filter(
+            F.col("deg") <= max_neighbor_degree
+        )
+        wedges = wedges.join(
+            zdeg.hint("shuffle_hash"), F.col("e1.dst") == F.col("z"), "left_semi"
+        )
+    common = (
+        wedges.select(
+            F.col("e1.src").alias("u"),
+            F.col("e2.dst").alias("v"),
+        )
+        .groupBy("u", "v")
+        .agg(F.count("*").alias("cn"))
+    )
+    du = deg.select(F.col("v").alias("u"), F.col("deg").alias("du"))
+    dv = deg.select(F.col("v").alias("v"), F.col("deg").alias("dv"))
+    # degree attach: deg has one row per vertex — never broadcastable at
+    # web scale, so pin the per-partition hash build (same decision as
+    # the triangle degree-attach joins, algos/triangles.py)
+    scored = (
+        common.join(du.hint("shuffle_hash"), "u")
+        .join(dv.hint("shuffle_hash"), "v")
+        .withColumn(
+            "score",
+            F.round(
+                F.col("cn").cast("double")
+                / (F.col("du") + F.col("dv") - F.col("cn")),
+                6,
+            ),
+        )
+    )
+    existing = sym.select(F.col(SRC).alias("u"), F.col(DST).alias("v"))
+    scored = scored.join(existing, ["u", "v"], "left_anti")
+    w = Window.partitionBy("u").orderBy(F.col("score").desc(), F.col("v").asc())
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .select("u", "v", "score")
+    )

@@ -189,6 +189,65 @@ def test_adamic_adar_hub_cap(spark):
 
 
 # ---------------------------------------------------------------------------
+# Jaccard link prediction
+# ---------------------------------------------------------------------------
+
+
+def brute_jaccard(triples, k, max_src=None):
+    adj: dict[int, set[int]] = {}
+    for s, d, _ in triples:
+        if s == d:
+            continue
+        adj.setdefault(s, set()).add(d)
+        adj.setdefault(d, set()).add(s)
+    out = []
+    for u in sorted(adj):
+        if max_src is not None and u > max_src:
+            continue
+        scores = {}
+        for z in adj[u]:
+            for v in adj[z]:
+                if v == u or v in adj[u]:
+                    continue
+                scores[v] = scores.get(v, 0) + 1
+        ranked = sorted(
+            (
+                (round(c / len(adj[u] | adj[v]), 6), v)
+                for v, c in scores.items()
+            ),
+            key=lambda t: (-t[0], t[1]),
+        )
+        out.extend((u, v, s) for s, v in ranked[:k])
+    return sorted(out)
+
+
+def test_jaccard_matches_bruteforce(spark):
+    from combblas_spark.algos.linkpred import jaccard_topk
+
+    got = jaccard_topk(spark, _seven_graph(spark), k=2)
+    rows = sorted((r["u"], r["v"], r["score"]) for r in got.collect())
+    want = brute_jaccard(FX.SEVEN, k=2)
+    assert len(rows) == len(want)
+    for g, w in zip(rows, want):
+        assert g[:2] == w[:2]
+        assert g[2] == pytest.approx(w[2], abs=1e-6)
+
+
+def test_jaccard_score_bounds_and_mask(spark):
+    from combblas_spark.algos.linkpred import jaccard_topk
+
+    got = jaccard_topk(spark, _seven_graph(spark), k=10).collect()
+    sym = set()
+    for s, d, _ in FX.SEVEN:
+        sym.add((s, d))
+        sym.add((d, s))
+    assert got
+    for r in got:
+        assert 0.0 < r["score"] <= 1.0
+        assert (r["u"], r["v"]) not in sym
+
+
+# ---------------------------------------------------------------------------
 # Reciprocity / assortativity
 # ---------------------------------------------------------------------------
 
