@@ -71,6 +71,9 @@ KTRUSS_K = 12      # support >= 10: peels 115729 -> 69588 -> 22275 at sf0.01
 KTRUSS_ROUNDS = 2  # both peel rounds non-idempotent at sf0.01 AND sf0.1
 TFIDF_K = 3        # salient terms kept per document
 ANF_H = 4          # neighborhood-function sketch depth (hops)
+NS_FANOUTS = (3, 2)  # GraphSAGE-style per-hop sample widths
+NS_MAX_ROOT = 20   # deterministic root slice (part-id space)
+NS_SEED = 1
 SPAN_TOKENS = 5    # C4-style span width for cross-document span dedup
 URL_N = 256        # synthetic crawl size for the URL-canonicalization gate
 
@@ -413,6 +416,59 @@ FROM (SELECT tsum, count(*) AS cnt
       FROM (SELECT ({tsum}) AS tsum FROM b{s}) GROUP BY tsum)"""
         )
     parts.append("\nUNION ALL".join(ests))
+    return "".join(parts)
+
+
+def _neigh_sample_sql(fanouts: tuple[int, ...], max_root: int, seed: int) -> str:
+    """GraphSAGE-style sampled message-flow blocks (algos/sampling.py):
+    per-hop top-fanout adjacency by the multiplicative pairwise hash
+    (exact 64-bit SQL, no fixture), expanded from the capped root set;
+    the oracle replays the identical sample and expansion joins."""
+    from combblas_spark.algos.sampling import A, B, C, P
+
+    parts = [
+        """
+WITH und AS MATERIALIZED (
+  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+)"""
+    ]
+    for k, f in enumerate(fanouts, start=1):
+        pr = (
+            f"((({A} * src + {B} * {seed + k}) % {P})"
+            f" * (({C} * dst) % {P})) % {P}"
+        )
+        parts.append(
+            f""",
+adj{k} AS MATERIALIZED (
+  SELECT src, dst FROM (
+    SELECT src, dst,
+           row_number() OVER (PARTITION BY src ORDER BY {pr} ASC, dst ASC) AS rn
+    FROM und) WHERE rn <= {f}
+)"""
+        )
+    parts.append(
+        f""",
+h1 AS MATERIALIZED (
+  SELECT r.v AS root, 1 AS hop, a.src, a.dst
+  FROM (SELECT DISTINCT src AS v FROM und WHERE src <= {max_root}) r
+  JOIN adj1 a ON a.src = r.v
+)"""
+    )
+    for k in range(2, len(fanouts) + 1):
+        parts.append(
+            f""",
+h{k} AS MATERIALIZED (
+  SELECT DISTINCT p.root, {k} AS hop, a.src, a.dst
+  FROM h{k - 1} p JOIN adj{k} a ON a.src = p.dst
+)"""
+        )
+    sel = "\nUNION ALL ".join(
+        f"SELECT root, hop, src, dst FROM h{k}"
+        for k in range(1, len(fanouts) + 1)
+    )
+    parts.append("\n" + sel)
     return "".join(parts)
 
 
@@ -2755,6 +2811,21 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_neigh_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GraphSAGE-style neighbor-sampling gate (algos/sampling.py):
+    deterministic (3, 2)-fanout message-flow blocks from a capped root
+    set on the co-purchase graph."""
+    from combblas_spark.algos.sampling import neighbor_sample
+
+    return neighbor_sample(
+        spark,
+        _copurchase_graph(spark, sf_dir),
+        fanouts=NS_FANOUTS,
+        max_root=NS_MAX_ROOT,
+        seed=NS_SEED,
+    )
+
+
 def q_recip_assort(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Digraph shape-metrics gate (reciprocity + degree assortativity,
     operators/reduce.py) on the line-number-ordered co-purchase
@@ -3503,6 +3574,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "adamic_adar3": q_adamic_adar,
         "jaccard_lp3": q_jaccard_links,
         "anf4": q_anf,
+        "neigh_sample": q_neigh_sample,
         "recip_assort": q_recip_assort,
         "harmonic4": q_harmonic,
         "walks6": q_walks,
@@ -3586,6 +3658,7 @@ def oracle_sql() -> dict[str, str]:
         "adamic_adar3": _adamic_adar_sql(AA_K, AA_MAX_SRC),
         "jaccard_lp3": _jaccard_links_sql(AA_K, AA_MAX_SRC),
         "anf4": _anf_sql(ANF_H),
+        "neigh_sample": _neigh_sample_sql(NS_FANOUTS, NS_MAX_ROOT, NS_SEED),
         "recip_assort": RECIP_ASSORT_SQL,
         "harmonic4": _harmonic_sql(HARM_SOURCES, HARM_DEPTH),
         "walks6": _walks_sql(WALK_LEN, WALK_SEED),
