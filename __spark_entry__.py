@@ -2811,6 +2811,62 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _anchors_sql(n_pages: int) -> str:
+    """Anchor-text index (sources/extract.py anchor_index): the synth
+    crawl's anchor for link (src→dst) is 'to {dst}' by construction
+    (sources/pages.py _render_page), so the oracle re-derives the term
+    stream from the pinned pure-link-rule edge fixture — the same
+    fixture the webgraph_pagerank gate proves byte-equivalent to the
+    live html extraction."""
+    return f"""
+WITH dict AS MATERIALIZED (
+  -- the fixture's vertex ids are the url-dictionary's dense rank over
+  -- the SORTED url list (make_oracle_fixtures.make_webgraph_edges);
+  -- rebuild it and map ids back to urls / page numbers
+  SELECT url, row_number() OVER (ORDER BY url) - 1 AS id,
+         CAST(regexp_extract(url, 'p([0-9]+)$', 1) AS BIGINT) AS page
+  FROM (SELECT 'https://site' || (i % 97) || '.example/p' || i AS url
+        FROM generate_series(0, {n_pages - 1}) t(i))
+),
+e AS MATERIALIZED (
+  SELECT d.url AS dst_url, d.page AS dst_page
+  FROM read_parquet('{_fixture("webgraph_edges.parquet")}') f
+  JOIN dict d ON d.id = f.dst
+),
+toks AS MATERIALIZED (
+  SELECT dst_url, 'to' AS term FROM e
+  UNION ALL
+  SELECT dst_url, CAST(dst_page AS VARCHAR) FROM e
+),
+counts AS MATERIALIZED (
+  SELECT dst_url, term, count(*) AS cnt FROM toks GROUP BY dst_url, term
+),
+per AS MATERIALIZED (
+  SELECT dst_url, count(DISTINCT term) AS n_terms, sum(cnt) AS n_anchor_terms
+  FROM counts GROUP BY dst_url
+),
+top AS MATERIALIZED (
+  SELECT dst_url, term AS top_term FROM (
+    SELECT dst_url, term,
+           row_number() OVER (PARTITION BY dst_url ORDER BY cnt DESC, term ASC) AS rn
+    FROM counts
+  ) WHERE rn = 1
+)
+SELECT p.dst_url, p.n_terms, p.n_anchor_terms, t.top_term
+FROM per p JOIN top t USING (dst_url)
+"""
+
+
+def q_anchors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anchor-text index gate (sources/extract.py): live html →
+    Arrow-batched (src, dst, anchor) extraction → per-target term
+    counts, distinct-term count, and dominant term."""
+    from combblas_spark.sources.extract import anchor_index
+    from combblas_spark.sources.pages import synth_pages
+
+    return anchor_index(synth_pages(spark, URL_N, seed=42, n_partitions=4))
+
+
 def q_neigh_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GraphSAGE-style neighbor-sampling gate (algos/sampling.py):
     deterministic (3, 2)-fanout message-flow blocks from a capped root
@@ -3611,6 +3667,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab15": q_vocab,
         "lang_id": q_lang_id,
         "url_dedup": q_url_dedup,
+        "anchors": q_anchors,
         "span_dedup": q_span_dedup,
         "pii_scrub": q_pii_scrub,
         "quality": q_quality,
@@ -3694,6 +3751,7 @@ def oracle_sql() -> dict[str, str]:
         "vocab15": VOCAB_SQL,
         "lang_id": _lang_id_sql(),
         "url_dedup": _url_dedup_sql(URL_N),
+        "anchors": _anchors_sql(URL_N),
         "span_dedup": _span_dedup_sql(SPAN_TOKENS),
         "pii_scrub": _pii_scrub_sql(),
         "quality": _quality_sql(),

@@ -100,11 +100,13 @@ def neighborhood_function(
     the edge table's hash(dst) layout so the per-hop join is the only
     exchange (same layout decision as algos/pagerank.py).
     """
+    # the (OR, OR) semiring is idempotent: duplicate edges and self
+    # loops merge to the same registers, so the symmetrized stream is
+    # NOT deduplicated — that skips a full O(m) distinct shuffle the
+    # plus-semiring kernels (pagerank, triangles) cannot skip
     sym = (
         g.edges.select(SRC, DST)
         .unionByName(g.edges.select(F.col(DST).alias(SRC), F.col(SRC).alias(DST)))
-        .filter(F.col(SRC) != F.col(DST))
-        .distinct()
         .cache()
     )
     verts = (

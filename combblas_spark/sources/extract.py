@@ -112,3 +112,71 @@ def page_links(pages: DataFrame) -> DataFrame:
         F.col("url").alias("src_url"),
         F.explode(extract_hrefs(F.col("html"))).alias("dst_url"),
     )
+
+
+_ANCHOR_RE = re.compile(
+    r"""(?is)<a\s[^>]*?href\s*=\s*["']([^"'<>\s]+)["'][^>]*>([^<]*)</a>"""
+)
+
+_ANCHOR_SCHEMA = "src_url string, dst_url string, anchor string"
+
+
+def extract_anchor_rows(pages: DataFrame) -> DataFrame:
+    """(src_url, dst_url, anchor) rows — links WITH their anchor text.
+
+    The input to an anchor-text index (the classic web-search corpus
+    product: what the web calls a page).  Arrow-batched ``mapInPandas``
+    emitting the exploded rows directly, so the nested list<struct>
+    type never materializes; per batch the only Python work is one
+    compiled findall per page.
+    """
+
+    def gen(batches):
+        for b in batches:
+            urls, hrefs, anchors = [], [], []
+            for url, html in zip(b["url"], b["html"]):
+                for href, text in _ANCHOR_RE.findall(
+                    html.decode("utf-8", errors="replace")
+                ):
+                    urls.append(url)
+                    hrefs.append(href)
+                    anchors.append(text.strip())
+            yield pd.DataFrame(
+                {"src_url": urls, "dst_url": hrefs, "anchor": anchors}
+            )
+
+    return pages.select("url", "html").mapInPandas(gen, _ANCHOR_SCHEMA)
+
+
+def anchor_index(pages: DataFrame) -> DataFrame:
+    """Per-target anchor-text summary over the extracted link stream.
+
+    For each link target: in-link count, distinct anchor-term count,
+    and the dominant anchor term (argmax by count, ties broken on the
+    term — deterministic).  Term counting is one map-side-combined
+    groupBy on (dst_url, term); the argmax is a window keyed on
+    dst_url — high cardinality, no skew beyond the in-degree
+    distribution itself (a hub's terms still hash across partitions
+    during the count; only the final per-target rank sees the hub's
+    DISTINCT terms, already aggregated).
+    """
+    from pyspark.sql import Window
+
+    terms = extract_anchor_rows(pages).select(
+        "dst_url",
+        F.explode(F.split(F.lower("anchor"), " ")).alias("term"),
+    )
+    counts = terms.groupBy("dst_url", "term").agg(F.count("*").alias("cnt"))
+    w = Window.partitionBy("dst_url").orderBy(
+        F.col("cnt").desc(), F.col("term").asc()
+    )
+    per_target = counts.groupBy("dst_url").agg(
+        F.countDistinct("term").alias("n_terms"),
+        F.sum("cnt").alias("n_anchor_terms"),
+    )
+    top = (
+        counts.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("dst_url", F.col("term").alias("top_term"))
+    )
+    return per_target.join(top, "dst_url")

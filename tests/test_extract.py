@@ -174,3 +174,61 @@ def test_host_curation_matches_pure_python(spark):
     by_url = {u: s for u, s in scored}
     for r in got_rows:
         assert r["score"] == pytest.approx(by_url[r["url"]], abs=2e-6)
+
+
+def test_anchor_rows_match_generator_rule(spark, pages):
+    """Every extracted anchor row is (src, dst, 'to {dst_id}') for an
+    edge of the pure link rule — extraction parity with link_targets."""
+    from combblas_spark.sources.extract import extract_anchor_rows
+
+    got = {
+        (r["src_url"], r["dst_url"], r["anchor"])
+        for r in extract_anchor_rows(pages).collect()
+    }
+    want = {
+        (page_url(s), page_url(d), f"to {d}")
+        for s, d in expected_edges(N_PAGES, seed=42)
+    }
+    assert got == want
+
+
+def test_anchor_index_counts(spark, pages):
+    """Per-target: two distinct terms ('to' + the numeric id), term
+    mass = 2x in-degree, dominant term is the numeric one (digits sort
+    before letters on the count tie)."""
+    from combblas_spark.sources.extract import anchor_index
+
+    indeg: dict[int, int] = {}
+    for _, d in expected_edges(N_PAGES, seed=42):
+        indeg[d] = indeg.get(d, 0) + 1
+    rows = {r["dst_url"]: r for r in anchor_index(pages).collect()}
+    assert set(rows) == {page_url(d) for d in indeg}
+    for d, c in indeg.items():
+        r = rows[page_url(d)]
+        assert r["n_terms"] == 2
+        assert r["n_anchor_terms"] == 2 * c
+        assert r["top_term"] == str(d)
+
+
+def test_anchor_extraction_edge_cases(spark):
+    """Nested-quote hrefs, empty anchor text, multiline anchors."""
+    import pandas as pd
+    from combblas_spark.sources.extract import extract_anchor_rows
+
+    html = (
+        b'<a href="https://x.example/a">first link</a>'
+        b"<a href='https://x.example/b'></a>"
+        b'<a class="z" href="https://x.example/c"> padded </a>'
+        b'<a href="https://x.example/d"><b>nested-skipped</b></a>'
+    )
+    df = spark.createDataFrame(
+        pd.DataFrame({"url": ["https://s.example/p"], "html": [html]})
+    )
+    rows = sorted(
+        (r["dst_url"], r["anchor"]) for r in extract_anchor_rows(df).collect()
+    )
+    assert rows == [
+        ("https://x.example/a", "first link"),
+        ("https://x.example/b", ""),
+        ("https://x.example/c", "padded"),
+    ]
