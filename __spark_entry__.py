@@ -76,6 +76,7 @@ NS_MAX_ROOT = 20   # deterministic root slice (part-id space)
 NS_SEED = 1
 SPAN_TOKENS = 5    # C4-style span width for cross-document span dedup
 URL_N = 256        # synthetic crawl size for the URL-canonicalization gate
+VOCAB_IDS_V = 15   # tokenize-to-ids vocabulary size (most of the corpus OOV)
 
 # ---------------------------------------------------------------------------
 # shared SQL building blocks (DuckDB oracle side)
@@ -535,6 +536,34 @@ SELECT doc_id, count(*) AS n_spans,
        round(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END)
              / CAST(count(*) AS DOUBLE), 4) AS keep_frac
 FROM k GROUP BY doc_id
+"""
+
+
+def _token_ids_sql(vocab_size: int) -> str:
+    """Corpus tokenization to ids (pipeline/text.py tokenize_ids):
+    top-V vocabulary by (count desc, token asc) with rank ids, OOV→0,
+    per-doc id sequence reassembled in position order."""
+    return f"""
+WITH t AS MATERIALIZED (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+),
+u AS MATERIALIZED (
+  SELECT doc_id, generate_subscripts(toks, 1) - 1 AS pos, unnest(toks) AS tok
+  FROM t
+),
+counts AS MATERIALIZED (SELECT tok, count(*) AS cnt FROM u GROUP BY tok),
+vocab AS MATERIALIZED (
+  SELECT tok, row_number() OVER (ORDER BY cnt DESC, tok ASC) AS id
+  FROM counts ORDER BY cnt DESC, tok ASC LIMIT {vocab_size}
+),
+enc AS MATERIALIZED (
+  SELECT u.doc_id, u.pos, coalesce(v.id, 0) AS tid
+  FROM u LEFT JOIN vocab v USING (tok)
+)
+SELECT doc_id, count(*) AS n_tokens,
+       sum(CASE WHEN tid = 0 THEN 1 ELSE 0 END) AS n_oov,
+       string_agg(CAST(tid AS VARCHAR), ',' ORDER BY pos) AS ids
+FROM enc GROUP BY doc_id
 """
 
 
@@ -2761,6 +2790,16 @@ def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return span_dedup(_docs(spark, sf_dir), span_tokens=SPAN_TOKENS)
 
 
+def q_token_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenize-to-ids gate (pipeline/text.py tokenize_ids): top-15
+    corpus vocabulary, OOV→0, per-doc id sequences — the encode step
+    between vocabulary building (vocab15) and sequence packing
+    (pack_seqs)."""
+    from combblas_spark.pipeline.text import tokenize_ids
+
+    return tokenize_ids(_docs(spark, sf_dir), vocab_size=VOCAB_IDS_V)
+
+
 def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scrubbing gate (pipeline/web.py): deterministic doc_id-
     derived PII injection (emails / IPv4s / phone numbers with varying
@@ -3670,6 +3709,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anchors": q_anchors,
         "span_dedup": q_span_dedup,
         "pii_scrub": q_pii_scrub,
+        "token_ids15": q_token_ids,
         "quality": q_quality,
         "fingerprint": q_fingerprint,
         "token_stats": q_token_stats,
@@ -3754,6 +3794,7 @@ def oracle_sql() -> dict[str, str]:
         "anchors": _anchors_sql(URL_N),
         "span_dedup": _span_dedup_sql(SPAN_TOKENS),
         "pii_scrub": _pii_scrub_sql(),
+        "token_ids15": _token_ids_sql(VOCAB_IDS_V),
         "quality": _quality_sql(),
         "fingerprint": FINGERPRINT_SQL,
         "token_stats": TOKEN_STATS_SQL,

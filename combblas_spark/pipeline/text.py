@@ -8,7 +8,7 @@ has an exact ANSI-SQL twin in __spark_entry__.oracle_sql.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 # tiny per-language stopword lists for the n-gram/stopword language
@@ -206,6 +206,56 @@ def top_tokens(docs: DataFrame, k: int) -> DataFrame:
         .agg(F.count("*").alias("cnt"))
         .orderBy(F.desc("cnt"), "token")
         .limit(k)
+    )
+
+
+def tokenize_ids(
+    docs: DataFrame, vocab_size: int = 64, oov_id: int = 0
+) -> DataFrame:
+    """Encode every document as its token-id sequence against a
+    corpus-built vocabulary — the last step before sequence packing
+    (pack_sequences) hands the corpus to a trainer.
+
+    The vocabulary is the top-``vocab_size`` tokens by count (ties
+    broken on the token — deterministic), ids 1..V by rank; any other
+    token maps to ``oov_id``.  Returns (doc_id, n_tokens, n_oov, ids)
+    with ``ids`` the comma-joined id sequence in document order.
+
+    Scale shape: the vocabulary is bounded by construction (a real BPE
+    vocab is ~50k rows), so selection is :func:`top_tokens`'s
+    TakeOrderedAndProject (O(V) memory) followed by one V-row window
+    for rank ids, and the encode join BROADCASTS the vocab — the one
+    place in this module where broadcast is categorically correct.
+    The per-doc reassembly is an ``array_sort(collect_list(struct))``
+    aggregate keyed on doc_id: one map-side-combinable shuffle, rows
+    bounded by document length.
+    """
+    toks = docs.select(
+        "doc_id", F.posexplode(tokens_col("text")).alias("pos", "tok")
+    )
+    counts = toks.groupBy("tok").agg(F.count("*").alias("cnt"))
+    w = Window.orderBy(F.desc("cnt"), F.asc("tok"))
+    vocab = (
+        counts.orderBy(F.desc("cnt"), "tok")
+        .limit(vocab_size)
+        .withColumn("id", F.row_number().over(w))
+        .select("tok", "id")
+    )
+    enc = toks.join(F.broadcast(vocab), "tok", "left").select(
+        "doc_id",
+        "pos",
+        F.coalesce(F.col("id"), F.lit(oov_id)).alias("tid"),
+    )
+    return enc.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        F.sum(F.when(F.col("tid") == oov_id, 1).otherwise(0)).alias("n_oov"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tid"))),
+                lambda x: x["tid"].cast("string"),
+            ),
+            ",",
+        ).alias("ids"),
     )
 
 

@@ -620,3 +620,51 @@ def test_top_tokens(spark):
     assert sorted(got) == [("a", 3), ("b", 3)]
     full = [(r["token"], r["cnt"]) for r in top_tokens(docs, 10).collect()]
     assert sorted(full) == sorted(Counter("b b b a a c c d a c d d e".split()).items())
+
+
+def test_tokenize_ids_matches_python(spark):
+    """Encode vs a pure-Python replay: top-2 vocab by (count desc,
+    token asc), ids by rank, OOV -> 0, sequences in document order."""
+    from pyspark.sql import Row
+    from combblas_spark.pipeline.text import tokenize_ids
+
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=0, text="b a b c b a"),
+            Row(doc_id=1, text="a c c d"),
+            Row(doc_id=2, text="d d"),
+        ]
+    )
+    # corpus counts: a=3, b=3, c=3, d=3 (all tie) -> vocab (V=2) by
+    # (count desc, token asc): a->1, b->2; c and d OOV
+    want = {
+        0: (6, 1, "2,1,2,0,2,1"),
+        1: (4, 3, "1,0,0,0"),
+        2: (2, 2, "0,0"),
+    }
+    rows = {r["doc_id"]: r for r in tokenize_ids(docs, vocab_size=2).collect()}
+    for d, (nt, no, ids) in want.items():
+        assert rows[d]["n_tokens"] == nt
+        assert rows[d]["n_oov"] == no
+        assert rows[d]["ids"] == ids
+
+
+def test_tokenize_ids_roundtrip_consistency(spark, sf_dir):
+    """Corpus-level invariants: id sequence length == n_tokens; n_oov
+    counts the zeros; every id <= vocab_size."""
+    from pyspark.sql import functions as F
+    from combblas_spark.pipeline.text import tokenize_ids
+    from combblas_spark.sources.tables import load_table
+
+    out = tokenize_ids(load_table(spark, sf_dir, "documents"), vocab_size=15)
+    bad = out.filter(
+        (F.size(F.split("ids", ",")) != F.col("n_tokens"))
+        | (
+            F.size(F.filter(F.split("ids", ","), lambda x: x == "0"))
+            != F.col("n_oov")
+        )
+        | F.exists(
+            F.split("ids", ","), lambda x: x.cast("int") > F.lit(15)
+        )
+    ).count()
+    assert bad == 0
