@@ -77,12 +77,15 @@ def adamic_adar_topk(
         .groupBy("u", "v")
         .agg(F.sum(1.0 / F.log(F.col("zdeg").cast("double"))).alias("s"))
     )
-    # complement mask: drop pairs that are already edges (anti-join on
-    # the aggregated pair set — O(candidate pairs), not O(wedges))
+    # complement mask: drop pairs that are already edges — anti-join on
+    # the aggregated pair set (O(candidate pairs), not O(wedges)), with
+    # the per-partition hash build pinned so neither the candidates nor
+    # the O(m) edge set is ever sorted (same decision as the triangle
+    # wedge joins, algos/triangles.py)
     existing = sym.select(F.col(SRC).alias("u"), F.col(DST).alias("v"))
-    scored = scored.join(existing, ["u", "v"], "left_anti").withColumn(
-        "score", F.round("s", 6)
-    )
+    scored = scored.join(
+        existing.hint("shuffle_hash"), ["u", "v"], "left_anti"
+    ).withColumn("score", F.round("s", 6))
     w = Window.partitionBy("u").orderBy(F.col("score").desc(), F.col("v").asc())
     return (
         scored.withColumn("_rn", F.row_number().over(w))
@@ -160,7 +163,7 @@ def jaccard_topk(
         )
     )
     existing = sym.select(F.col(SRC).alias("u"), F.col(DST).alias("v"))
-    scored = scored.join(existing, ["u", "v"], "left_anti")
+    scored = scored.join(existing.hint("shuffle_hash"), ["u", "v"], "left_anti")
     w = Window.partitionBy("u").orderBy(F.col("score").desc(), F.col("v").asc())
     return (
         scored.withColumn("_rn", F.row_number().over(w))
