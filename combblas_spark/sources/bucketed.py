@@ -35,6 +35,7 @@ def write_bucketed_edges(
     bucket_key: str = DST,
     n_buckets: int | None = None,
     mode: str = "overwrite",
+    path: str | None = None,
 ) -> None:
     """Persist ``g``'s edges bucketed (and sorted within buckets) on
     ``bucket_key``.
@@ -42,15 +43,85 @@ def write_bucketed_edges(
     ``bucket_key=dst`` matches the PageRank/SpMV superstep layout
     (votes aggregate by dst); use ``src`` for pull-style kernels.  The
     one-time write pays the exchange the per-session joins then skip.
+    ``path`` makes the table external (object-store locations).
     """
     n = n_buckets or g.n_partitions
-    (
-        g.edges.write.mode(mode)
-        .bucketBy(n, bucket_key)
-        .sortBy(bucket_key)
-        .format("parquet")
-        .saveAsTable(table)
+    w = g.edges.write.mode(mode).bucketBy(n, bucket_key).sortBy(bucket_key)
+    if path:
+        w = w.option("path", path)
+    w.format("parquet").saveAsTable(table)
+
+
+def write_adjacency_blocks(
+    g: Graph,
+    table: str,
+    n_buckets: int | None = None,
+    mode: str = "overwrite",
+    path: str | None = None,
+) -> None:
+    """Persist ``g`` as a CSR-blocked adjacency structure: one row per
+    source vertex, out-neighbors (and weights) as position-aligned
+    sorted arrays, rows bucketed on ``src``.
+
+    This is the DataFrame rendering of the reference's per-process CSC
+    blocks (SpDCCols, include/CombBLAS/SpDCCols.h — values grouped by
+    major dimension with an index array): the bucket is the block, the
+    row is the compressed column, and ``dsts`` is the index array.
+    Compared to the flat edge table it removes the per-row src
+    repetition (parquet RLE already compresses it, but the grouped form
+    also gives O(1) degree access and row-at-a-time adjacency scans for
+    samplers/walkers).  The group-by pays one exchange at write time;
+    readers get back the flat (src, dst, w) stream via one explode —
+    no shuffle, no sort.
+    """
+    n = n_buckets or g.n_partitions
+    adj = (
+        g.edges.groupBy(SRC)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col(DST), F.col("w")))
+            ).alias("_nbrs")
+        )
+        .select(
+            SRC,
+            F.transform("_nbrs", lambda x: x[DST]).alias("dsts"),
+            F.transform("_nbrs", lambda x: x["w"]).alias("ws"),
+            F.size("_nbrs").alias("degree"),
+        )
     )
+    w = adj.write.mode(mode).bucketBy(n, SRC).sortBy(SRC)
+    if path:
+        w = w.option("path", path)
+    w.format("parquet").saveAsTable(table)
+
+
+def read_adjacency_blocks(
+    spark: SparkSession, table: str, n_partitions: int | None = None
+) -> Graph:
+    """CSR-blocked adjacency table → :class:`Graph` (flat edge view).
+
+    The explode is narrow (no exchange); the bucket spec on ``src``
+    still serves pull-style joins planned directly on the grouped
+    table (``spark.table(table)``) when the caller wants degree or
+    whole-adjacency rows instead of the edge stream.
+    """
+    adj = spark.table(table)
+    edges = adj.select(
+        SRC,
+        F.explode(F.arrays_zip("dsts", "ws")).alias("_e"),
+    ).select(
+        SRC,
+        F.col("_e.dsts").alias(DST),
+        F.col("_e.ws").alias("w"),
+    )
+    nb = n_partitions
+    if nb is None:
+        desc = spark.sql(f"DESCRIBE TABLE EXTENDED {table}").collect()
+        for r in desc:
+            if r["col_name"] == "Num Buckets":
+                nb = int(r["data_type"])
+                break
+    return Graph(edges=edges, n_partitions=nb or edges.rdd.getNumPartitions())
 
 
 def read_bucketed_edges(

@@ -19,14 +19,7 @@ def bucketed(spark, tmp_path_factory):
     g = FX.graph(spark, FX.SEVEN, n_partitions=4)
     path = str(tmp_path_factory.mktemp("bucketed") / "edges_by_dst")
     spark.sql("DROP TABLE IF EXISTS edges_by_dst")
-    (
-        g.edges.write.mode("overwrite")
-        .bucketBy(4, "dst")
-        .sortBy("dst")
-        .option("path", path)
-        .format("parquet")
-        .saveAsTable("edges_by_dst")
-    )
+    write_bucketed_edges(g, "edges_by_dst", bucket_key="dst", path=path)
     yield read_bucketed_edges(spark, "edges_by_dst", n_partitions=4)
     spark.sql("DROP TABLE IF EXISTS edges_by_dst")
 
@@ -93,3 +86,37 @@ def test_pagerank_identical_on_bucketed_layout(spark, bucketed):
     assert set(a) == set(b)
     for v in a:
         assert abs(a[v] - b[v]) < 1e-12
+
+
+def test_adjacency_blocks_roundtrip(spark, tmp_path_factory):
+    """CSR-blocked write -> flat edge read round trip, degrees exposed,
+    neighbor arrays sorted."""
+    from combblas_spark.sources.bucketed import (
+        read_adjacency_blocks,
+        write_adjacency_blocks,
+    )
+
+    g = FX.graph(spark, FX.SEVEN, n_partitions=4)
+    path = str(tmp_path_factory.mktemp("adj") / "adj_by_src")
+    spark.sql("DROP TABLE IF EXISTS adj_by_src")
+    write_adjacency_blocks(g, "adj_by_src", path=path)
+    try:
+        back = read_adjacency_blocks(spark, "adj_by_src", n_partitions=4)
+        want = sorted((s, d) for s, d, _ in FX.SEVEN)
+        got = sorted((r["src"], r["dst"]) for r in back.edges.collect())
+        assert got == want
+        rows = spark.table("adj_by_src").collect()
+        for r in rows:
+            assert r["degree"] == len(r["dsts"]) == len(r["ws"])
+            assert r["dsts"] == sorted(r["dsts"])
+        # the edge view needs no exchange and no sort: one bucketed scan
+        plan = back.edges._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan and "Sort" not in plan, plan
+        # degree access is a column read, not an aggregation
+        deg = {r["src"]: r["degree"] for r in rows}
+        true_deg: dict[int, int] = {}
+        for s, _, _ in FX.SEVEN:
+            true_deg[s] = true_deg.get(s, 0) + 1
+        assert deg == true_deg
+    finally:
+        spark.sql("DROP TABLE IF EXISTS adj_by_src")
