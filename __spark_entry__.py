@@ -71,6 +71,8 @@ KTRUSS_K = 12      # support >= 10: peels 115729 -> 69588 -> 22275 at sf0.01
 KTRUSS_ROUNDS = 2  # both peel rounds non-idempotent at sf0.01 AND sf0.1
 TFIDF_K = 3        # salient terms kept per document
 ANF_H = 4          # neighborhood-function sketch depth (hops)
+PR_INC_ITERS = 3   # warm-start iterations after the crawl delta lands
+PR_INC_SPLIT = 10  # base graph = edges with (src + dst) % PR_INC_SPLIT != 0
 NS_FANOUTS = (3, 2)  # GraphSAGE-style per-hop sample widths
 NS_MAX_ROOT = 20   # deterministic root slice (part-id space)
 NS_SEED = 1
@@ -329,6 +331,86 @@ SELECT u, v, score FROM (
   FROM masked
 ) WHERE rn <= {k}
 """
+
+
+def _pr_unroll(prefix: str, edges: str, n_iter: int, start: str) -> str:
+    """PageRank recursion as chained CTEs with ``prefix``-scoped names,
+    iterating over CTEs ``{prefix}verts/vd/params`` and edge CTE
+    ``edges`` from rank CTE ``start``."""
+    out = []
+    prev = start
+    for k in range(1, n_iter + 1):
+        out.append(
+            f""",
+{prefix}d{k} AS MATERIALIZED (
+  SELECT coalesce(sum(p.rank), 0.0) AS mass
+  FROM {prev} p JOIN {prefix}vd USING (v) WHERE {prefix}vd.deg = 0
+),
+{prefix}s{k} AS MATERIALIZED (
+  SELECT e.dst AS v, sum(p.rank / vd.deg) AS s
+  FROM {edges} e JOIN {prev} p ON e.src = p.v
+  JOIN {prefix}vd vd ON vd.v = p.v
+  WHERE vd.deg > 0
+  GROUP BY e.dst
+),
+{prefix}r{k} AS MATERIALIZED (
+  SELECT {prefix}verts.v,
+         (1 - {ALPHA}) / (SELECT n FROM {prefix}params)
+         + {ALPHA} * (coalesce({prefix}s{k}.s, 0.0)
+                      + (SELECT mass FROM {prefix}d{k})
+                        / (SELECT n FROM {prefix}params)) AS rank
+  FROM {prefix}verts LEFT JOIN {prefix}s{k} ON {prefix}verts.v = {prefix}s{k}.v
+)"""
+        )
+        prev = f"{prefix}r{k}"
+    return "".join(out)
+
+
+def _pagerank_inc_sql(base_iters: int, warm_iters: int, split: int) -> str:
+    """Incremental / warm-start PageRank (algos/pagerank.py
+    pagerank_warm): base-graph unroll → crawl delta lands → warm init
+    (prior ranks carried over, 1/n for new vertices, L1-renormalized)
+    → warm unroll over the grown graph."""
+    base_graph = f"""
+bedges AS MATERIALIZED (
+  SELECT src, dst FROM edges WHERE (src + dst) % {split} <> 0
+),
+bverts AS MATERIALIZED (
+  SELECT DISTINCT v FROM (SELECT src AS v FROM bedges
+                          UNION ALL SELECT dst AS v FROM bedges)
+),
+bdeg AS MATERIALIZED (SELECT src AS v, count(*) AS deg FROM bedges GROUP BY src),
+bvd AS MATERIALIZED (
+  SELECT bverts.v, coalesce(bdeg.deg, 0) AS deg FROM bverts LEFT JOIN bdeg USING (v)
+),
+bparams AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n FROM bverts),
+br0 AS MATERIALIZED (
+  SELECT v, 1.0 / (SELECT n FROM bparams) AS rank FROM bverts
+)"""
+    union_graph = f""",
+wverts AS MATERIALIZED (
+  SELECT DISTINCT v FROM (SELECT src AS v FROM edges
+                          UNION ALL SELECT dst AS v FROM edges)
+),
+wdeg AS MATERIALIZED (SELECT src AS v, count(*) AS deg FROM edges GROUP BY src),
+wvd AS MATERIALIZED (
+  SELECT wverts.v, coalesce(wdeg.deg, 0) AS deg FROM wverts LEFT JOIN wdeg USING (v)
+),
+wparams AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n FROM wverts),
+wpre AS MATERIALIZED (
+  SELECT wverts.v, coalesce(b.rank, 1.0 / (SELECT n FROM wparams)) AS rank
+  FROM wverts LEFT JOIN br{base_iters} b USING (v)
+),
+wtot AS MATERIALIZED (SELECT sum(rank) AS t FROM wpre),
+wr0 AS MATERIALIZED (SELECT v, rank / (SELECT t FROM wtot) AS rank FROM wpre)"""
+    return (
+        "WITH " + EDGES_CTE.strip() + ","
+        + base_graph
+        + _pr_unroll("b", "bedges", base_iters, "br0")
+        + union_graph
+        + _pr_unroll("w", "edges", warm_iters, "wr0")
+        + f"\nSELECT v, round(rank, 6) AS rank FROM wr{warm_iters}"
+    )
 
 
 def _jaccard_links_sql(k: int, max_src: int) -> str:
@@ -2536,6 +2618,26 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks.select("v", F.round("rank", 6).alias("rank"))
 
 
+def q_pagerank_inc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental PageRank gate (algos/pagerank.py pagerank_warm):
+    rank the base graph (a deterministic edge split), land the delta,
+    warm-start from the prior vector with new vertices at 1/n, and run
+    the few update iterations — the crawl-refresh shape."""
+    from combblas_spark.algos.pagerank import pagerank_fixed, pagerank_warm
+    from combblas_spark.graph import Graph
+
+    g = _graph(spark, sf_dir)
+    base = Graph(
+        edges=g.edges.filter(
+            (F.col("src") + F.col("dst")) % PR_INC_SPLIT != 0
+        ),
+        n_partitions=g.n_partitions,
+    )
+    prev = pagerank_fixed(spark, base, n_iter=PR_ITERS, alpha=ALPHA)
+    warm = pagerank_warm(spark, g, prev, n_iter=PR_INC_ITERS, alpha=ALPHA)
+    return warm.select("v", F.round("rank", 6).alias("rank"))
+
+
 def q_wpagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from combblas_spark.algos.wpagerank import wpagerank_fixed
 
@@ -3678,6 +3780,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ktruss12": q_ktruss,
         "tfidf3": q_tfidf,
         "ppr5": q_ppr,
+        "pagerank_inc": q_pagerank_inc,
         "wpagerank5": q_wpagerank,
         "cc_as": q_cc_as,
         "labelprop2": q_labelprop,
@@ -3764,6 +3867,7 @@ def oracle_sql() -> dict[str, str]:
         "ktruss12": _ktruss_sql(KTRUSS_K, KTRUSS_ROUNDS),
         "tfidf3": _tfidf_sql(TFIDF_K),
         "ppr5": _ppr_sql(PR_ITERS, PPR_SEEDS),
+        "pagerank_inc": _pagerank_inc_sql(PR_ITERS, PR_INC_ITERS, PR_INC_SPLIT),
         "wpagerank5": _wpagerank_sql(PR_ITERS),
         "cc_as": _cc_sql(CC_ROUNDS),
         "labelprop2": _labelprop_sql(LP_ITERS),

@@ -109,6 +109,7 @@ def pagerank(
     checkpointer=None,
     broadcast_contrib: bool | None = None,
     norm: str = "max",
+    init_ranks: DataFrame | None = None,
 ) -> PageRankResult:
     """Run PageRank to ``tol`` convergence (or ``max_iter``).
 
@@ -137,6 +138,13 @@ def pagerank(
     *lazy* localCheckpoint materializes as a side effect of the fused
     scalar aggregate (convergence delta + next dangling mass) — there
     is no separate checkpoint job and no O(n)⋈O(n) delta join.
+
+    ``init_ranks``: optional (v, rank) warm start — vertices absent
+    from it (a crawl delta's new pages) start at 1/n, then the whole
+    vector is L1-normalized back to mass 1.  The incremental-update
+    device (a daily delta perturbs few ranks, so a warm start converges
+    in a handful of iterations instead of a cold run's dozens); ignored
+    when a checkpointer resume is in progress.
     """
     if norm not in ("max", "l1"):
         raise ValueError(f"norm must be 'max' or 'l1', got {norm!r}")
@@ -253,7 +261,21 @@ def pagerank(
     # lineage out from under them.  ``own_ckpt`` holds the live
     # checkpoint's id; it is superseded when the next one materializes.
     own_ckpt: set[int] = set()
-    if ranks is None:
+    if ranks is None and init_ranks is not None:
+        # warm start: carry over prior ranks, 1/n for new vertices,
+        # re-normalize to total mass 1 (one scalar aggregate)
+        r0 = vd.join(
+            init_ranks.select("v", F.col("rank").alias("_r0")), "v", "left"
+        ).select("v", "deg", F.coalesce("_r0", F.lit(1.0 / n)).alias("rank"))
+        total = float(r0.agg(F.sum("rank")).collect()[0][0])
+        ranks = r0.select("v", "deg", (F.col("rank") / total).alias("rank"))
+        ranks = ranks.localCheckpoint(eager=True)
+        own_ckpt = {i for i in (_checkpoint_rdd_id(ranks),) if i is not None}
+        dangling = float(
+            ranks.filter(F.col("deg") == 0).agg(F.sum("rank")).collect()[0][0]
+            or 0.0
+        )
+    elif ranks is None:
         # init 1/n; ranks carries deg so the iteration needs no extra join
         ranks = vd.select("v", "deg", F.lit(1.0 / n).alias("rank"))
         ranks = ranks.localCheckpoint(eager=True)
@@ -418,4 +440,23 @@ def pagerank_fixed(
     unrolls the same number of iterations as chained CTEs.
     """
     res = pagerank(spark, g, alpha=alpha, tol=-1.0, max_iter=n_iter)
+    return res.ranks
+
+
+def pagerank_warm(
+    spark: SparkSession,
+    g: Graph,
+    init_ranks: DataFrame,
+    n_iter: int,
+    alpha: float = 0.85,
+) -> DataFrame:
+    """Exactly ``n_iter`` iterations from a warm start (v, rank).
+
+    The batch-incremental update for a crawl delta: re-rank the grown
+    graph starting from yesterday's converged vector instead of 1/n —
+    the PageRank sibling of algos/incremental.py's summary-matrix MCL
+    restart (IncClust.h's reuse of prior state)."""
+    res = pagerank(
+        spark, g, alpha=alpha, tol=-1.0, max_iter=n_iter, init_ranks=init_ranks
+    )
     return res.ranks
