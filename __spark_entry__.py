@@ -555,6 +555,44 @@ h{k} AS MATERIALIZED (
     return "".join(parts)
 
 
+def _eff_diam_sql(h: int, q: float) -> str:
+    """q-effective diameter over the ANF table (algos/anf.py
+    effective_diameter_df): the same window interpolation replayed over
+    the _anf_sql estimate rows."""
+    anf = _anf_sql(h)
+    return f"""
+WITH anf AS MATERIALIZED (
+{anf}
+),
+t AS MATERIALIZED (
+  SELECT hop, nf,
+         {q} * max(nf) OVER () AS target,
+         lag(nf) OVER (ORDER BY hop) AS prev
+  FROM anf
+),
+c AS MATERIALIZED (
+  SELECT hop, nf, target, prev,
+         row_number() OVER (ORDER BY hop) AS rn
+  FROM t WHERE nf >= target
+)
+SELECT round(CASE WHEN hop = 0 THEN 0.0
+             ELSE hop - 1 + (target - prev) / (nf - prev) END, 4)
+       AS eff_diameter
+FROM c WHERE rn = 1
+"""
+
+
+def q_eff_diam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Effective-diameter gate: the 0.9-quantile interpolated hop from
+    the ANF sketch table (the headline statistic ANF/HyperANF exist to
+    produce on web graphs)."""
+    from combblas_spark.algos.anf import effective_diameter_df
+
+    return effective_diameter_df(
+        spark, _copurchase_graph(spark, sf_dir), h=ANF_H, q=0.9
+    )
+
+
 _URL_CANON_SQL = (
     "regexp_replace(regexp_replace(regexp_replace(regexp_replace("
     "lower(url), '^[a-z]+://', ''), '^www\\.', ''), '[#?].*$', ''), '/$', '')"
@@ -3771,6 +3809,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "adamic_adar3": q_adamic_adar,
         "jaccard_lp3": q_jaccard_links,
         "anf4": q_anf,
+        "eff_diam": q_eff_diam,
         "neigh_sample": q_neigh_sample,
         "recip_assort": q_recip_assort,
         "harmonic4": q_harmonic,
@@ -3858,6 +3897,7 @@ def oracle_sql() -> dict[str, str]:
         "adamic_adar3": _adamic_adar_sql(AA_K, AA_MAX_SRC),
         "jaccard_lp3": _jaccard_links_sql(AA_K, AA_MAX_SRC),
         "anf4": _anf_sql(ANF_H),
+        "eff_diam": _eff_diam_sql(ANF_H, 0.9),
         "neigh_sample": _neigh_sample_sql(NS_FANOUTS, NS_MAX_ROOT, NS_SEED),
         "recip_assort": RECIP_ASSORT_SQL,
         "harmonic4": _harmonic_sql(HARM_SOURCES, HARM_DEPTH),

@@ -135,6 +135,32 @@ def neighborhood_function(
     return reduce(DataFrame.unionByName, out)
 
 
+def effective_diameter_df(
+    spark: SparkSession, g: Graph, h: int = 4, q: float = 0.9
+) -> DataFrame:
+    """The q-effective diameter (HyperANF §5) as a 1-row DataFrame:
+    the interpolated hop where N(hop) first reaches q·N(h).
+
+    Pure window arithmetic over the (h+1)-row neighborhood-function
+    table, so the DuckDB oracle replays it exactly."""
+    from pyspark.sql import Window
+
+    nf = neighborhood_function(spark, g, h)
+    w_all = Window.partitionBy(F.lit(1))
+    w_ord = Window.partitionBy(F.lit(1)).orderBy("hop")
+    t = (
+        nf.withColumn("target", F.lit(q) * F.max("nf").over(w_all))
+        .withColumn("prev", F.lag("nf").over(w_ord))
+        .filter(F.col("nf") >= F.col("target"))
+        .withColumn("rn", F.row_number().over(w_ord))
+        .filter(F.col("rn") == 1)
+    )
+    ed = F.when(F.col("hop") == 0, F.lit(0.0)).otherwise(
+        F.col("hop") - 1 + (F.col("target") - F.col("prev")) / (F.col("nf") - F.col("prev"))
+    )
+    return t.select(F.round(ed, 4).alias("eff_diameter"))
+
+
 def effective_diameter(
     spark: SparkSession, g: Graph, h: int = 8, q: float = 0.9
 ) -> float:

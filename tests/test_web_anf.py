@@ -225,3 +225,20 @@ def test_pii_scrub_idempotent(spark):
     twice = pii_scrub(once).collect()[0]
     assert (twice["n_email"], twice["n_ip"], twice["n_phone"]) == (0, 0, 0)
     assert twice["scrubbed"] == twice["text"]
+
+
+def test_effective_diameter_df_matches_scalar(spark):
+    """The 1-row DataFrame form equals the driver-side scalar form on
+    the same sketch table (same interpolation)."""
+    from combblas_spark.algos.anf import (
+        effective_diameter,
+        effective_diameter_df,
+    )
+
+    g = FX.graph(spark, FX.chain(6))
+    scalar = effective_diameter(spark, g, h=6, q=0.9)
+    df_val = effective_diameter_df(spark, g, h=6, q=0.9).collect()[0][
+        "eff_diameter"
+    ]
+    assert abs(scalar - df_val) < 1e-4
+    assert 1.0 <= df_val <= 5.0
