@@ -103,3 +103,68 @@ def incremental_out_degrees(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+EVENT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType(), False),
+        StructField("ts", LongType(), False),
+    ]
+)
+
+
+def stateful_sessionize(
+    events: DataFrame, gap_s: int = 300
+) -> DataFrame:
+    """Custom stateful streaming operator: per-user session assembly
+    via ``applyInPandasWithState`` — the Arrow-batched stateful path
+    for semantics no built-in streaming aggregate expresses (a session
+    has no fixed window; its end depends on the NEXT event's gap).
+
+    Per key the state is the open session ``(start, last, n)``; a
+    micro-batch's events extend it or close it (gap exceeded → the
+    closed session row is emitted and a new one opens).  State lives in
+    the streaming checkpoint, so sessions survive query restarts — the
+    test drives two separate ``availableNow`` runs over one checkpoint
+    and the session spanning them closes correctly.  The batch analogue
+    is the oracle-gated ``sessionize`` window query; at corpus scale
+    the stream holds O(active users) state rows, each O(1) wide, and
+    each micro-batch shuffles only its own events once (groupBy key).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def assemble(key, pdfs, state: GroupState):
+        (uid,) = key
+        ts_sorted = sorted(
+            int(t) for pdf in pdfs for t in pdf["ts"].tolist()
+        )
+        if state.exists:
+            start, last, n = state.get
+        else:
+            start, last, n = None, None, 0
+        closed = []
+        for t in ts_sorted:
+            if start is None:
+                start, last, n = t, t, 1
+            elif t - last > gap_s:
+                closed.append((uid, start, last, n))
+                start, last, n = t, t, 1
+            else:
+                last, n = max(last, t), n + 1
+        if start is not None:
+            state.update((start, last, n))
+        yield pd.DataFrame(
+            closed,
+            columns=["user_id", "session_start", "session_end", "n_events"],
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        assemble,
+        outputStructType=(
+            "user_id long, session_start long, session_end long, n_events int"
+        ),
+        stateStructType="start long, last long, n int",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -187,3 +187,63 @@ def test_write_read_mcl_clusters_roundtrip(spark, tmp_path):
     back = read_mcl_clusters(spark, path)
     names = {r["name"] for r in back.collect()}
     assert names == {str(v + 1) for v in range(11)}
+
+
+def test_stateful_sessionize_across_restarts(spark, tmp_path):
+    """applyInPandasWithState session assembly: the open session lives
+    in the streaming checkpoint, so a session spanning two separate
+    availableNow runs (a query restart) closes correctly when the
+    gap-exceeding event arrives in the second run."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from combblas_spark.streaming.ingest import (
+        EVENT_SCHEMA,
+        stateful_sessionize,
+    )
+
+    src = tmp_path / "events_in"
+    ck = str(tmp_path / "ck")
+    src.mkdir()
+
+    def write_batch(name, rows):
+        tbl = pa.table(
+            {
+                "user_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array([r[1] for r in rows], pa.int64()),
+            }
+        )
+        pq.write_table(tbl, str(src / name))
+
+    out_dir = str(tmp_path / "sessions_out")
+
+    def drain():
+        # file sink: the one in-tree sink that supports checkpoint
+        # recovery (memory sink cannot restart from a checkpoint)
+        stream = spark.readStream.schema(EVENT_SCHEMA).parquet(str(src))
+        q = (
+            stateful_sessionize(stream, gap_s=300)
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return sorted(
+            tuple(r) for r in spark.read.parquet(out_dir).collect()
+        )
+
+    # run 1: user 1 has an open 2-event session, user 2 closes one
+    # in-batch (gap 400 > 300) and leaves a second open
+    write_batch("a.parquet", [(1, 0), (1, 100), (2, 50), (2, 450)])
+    out1 = drain()
+    assert out1 == [(2, 50, 50, 1)]
+
+    # run 2 (fresh query, same checkpoint): user 1's late event closes
+    # the session opened in run 1 — state crossed the restart
+    write_batch("b.parquet", [(1, 1000), (2, 500)])
+    out2 = drain()  # cumulative file-sink contents
+    assert out2 == [(1, 0, 100, 2), (2, 50, 50, 1)]
