@@ -290,3 +290,54 @@ def single_child_bfs(
         parents = parents.unionByName(new).localCheckpoint(eager=True)
         frontier = new.select("v")
     return parents
+
+
+def validate_bfs_tree(
+    spark: SparkSession,
+    g: Graph,
+    tree: DataFrame,
+    symmetrize: bool = True,
+) -> DataFrame:
+    """Graph500-style BFS tree validation as a 1-row summary.
+
+    The reference validates every BFS run before counting it
+    (Applications/TopDownBFS.cpp — spec checks: one self-parented root
+    at level 0, every tree edge exists in the graph, every non-root's
+    level is its parent's level + 1, no vertex appears twice).  Here
+    each check is one distributed join/aggregate over the (v, parent,
+    level) table; only the four counters reach the driver.
+
+    Returns (n_roots, n_dup, bad_edges, bad_levels) — a valid tree is
+    (1, 0, 0, 0).
+    """
+    e = g.edges.select(SRC, DST)
+    if symmetrize:
+        e = e.unionByName(e.select(F.col(DST).alias(SRC), F.col(SRC).alias(DST)))
+    tree = tree.cache()
+    n_roots = tree.filter(
+        (F.col("v") == F.col("parent")) & (F.col("level") == 0)
+    ).count()
+    n_dup = tree.count() - tree.select("v").distinct().count()
+    nonroot = tree.filter(F.col("v") != F.col("parent"))
+    bad_edges = nonroot.join(
+        e.select(F.col(SRC).alias("parent"), F.col(DST).alias("v")).hint(
+            "shuffle_hash"
+        ),
+        ["parent", "v"],
+        "left_anti",
+    ).count()
+    plevels = tree.select(
+        F.col("v").alias("parent"), F.col("level").alias("_plevel")
+    )
+    bad_levels = (
+        nonroot.join(plevels, "parent", "left")
+        .filter(
+            F.col("_plevel").isNull()
+            | (F.col("level") != F.col("_plevel") + 1)
+        )
+        .count()
+    )
+    return spark.createDataFrame(
+        [(n_roots, n_dup, bad_edges, bad_levels)],
+        "n_roots long, n_dup long, bad_edges long, bad_levels long",
+    )

@@ -217,3 +217,47 @@ def test_triangle_wedge_joins_never_sort(spark):
     )
     assert "SortMergeJoin" not in plan, plan
     assert "ShuffledHashJoin" in plan, plan
+
+
+def test_validate_bfs_tree_accepts_real_tree(spark):
+    """A tree produced by bfs() passes all four Graph500 spec checks."""
+    from combblas_spark.algos.bfs import bfs, validate_bfs_tree
+
+    g = FX.graph(spark, FX.SEVEN)
+    tree = bfs(spark, g, source=0)
+    row = validate_bfs_tree(spark, g, tree).collect()[0]
+    assert tuple(row) == (1, 0, 0, 0)
+
+
+def test_validate_bfs_tree_detects_corruption(spark):
+    """Flipping a parent to a non-neighbor and bumping a level trips
+    exactly the corresponding counters."""
+    from pyspark.sql import functions as F
+
+    from combblas_spark.algos.bfs import bfs, validate_bfs_tree
+
+    g = FX.graph(spark, FX.SEVEN)
+    tree = bfs(spark, g, source=0).cache()
+    victim = tree.filter(
+        (F.col("v") != F.col("parent")) & (F.col("level") >= 1)
+    ).limit(1)
+    vrow = victim.collect()[0]
+    # corrupt: point the victim at itself+100 (no such edge) AND give
+    # it an impossible level
+    bad = tree.withColumn(
+        "parent",
+        F.when(F.col("v") == vrow["v"], F.lit(vrow["v"] + 100)).otherwise(
+            F.col("parent")
+        ),
+    ).withColumn(
+        "level",
+        F.when(F.col("v") == vrow["v"], F.lit(99)).otherwise(F.col("level")),
+    )
+    row = validate_bfs_tree(spark, g, bad).collect()[0]
+    assert row["n_roots"] == 1
+    assert row["bad_edges"] >= 1
+    assert row["bad_levels"] >= 1
+    # duplicate detection
+    dup = tree.unionByName(tree.limit(1))
+    row2 = validate_bfs_tree(spark, g, dup).collect()[0]
+    assert row2["n_dup"] == 1
