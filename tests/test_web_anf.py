@@ -242,3 +242,30 @@ def test_effective_diameter_df_matches_scalar(spark):
     ]
     assert abs(scalar - df_val) < 1e-4
     assert 1.0 <= df_val <= 5.0
+
+
+def test_anf_plan_is_sortfree_and_hashjoined(spark):
+    """Lock the ANF superstep plan: no sort-merge join, no sort — the
+    OR-merge is hash joins + hash aggregates end to end."""
+    from combblas_spark.algos.anf import neighborhood_function
+
+    df = neighborhood_function(spark, _seven(spark), h=2)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_linkpred_plans_are_sortfree(spark):
+    """Lock both link-prediction pipelines sort-free (the wedge joins,
+    degree attaches, and complement-mask anti-joins are all pinned
+    hash joins; only the top-k windows may sort)."""
+    from combblas_spark.algos.linkpred import adamic_adar_topk, jaccard_topk
+
+    g = _seven(spark)
+    for fn in (adamic_adar_topk, jaccard_topk):
+        plan = (
+            fn(spark, g, k=2)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "SortMergeJoin" not in plan, (fn.__name__, plan)
