@@ -72,6 +72,9 @@ KTRUSS_ROUNDS = 2  # both peel rounds non-idempotent at sf0.01 AND sf0.1
 TFIDF_K = 3        # salient terms kept per document
 ANF_H = 4          # neighborhood-function sketch depth (hops)
 PR_INC_ITERS = 3   # warm-start iterations after the crawl delta lands
+CMS_W = 64         # Count-Min sketch width (4 rows pinned in sketches.py)
+CMS_K = 10         # heavy hitters kept
+WSAMPLE_K = 20     # weighted corpus sample size
 PR_INC_SPLIT = 10  # base graph = edges with (src + dst) % PR_INC_SPLIT != 0
 NS_FANOUTS = (3, 2)  # GraphSAGE-style per-hop sample widths
 NS_MAX_ROOT = 20   # deterministic root slice (part-id space)
@@ -553,6 +556,88 @@ h{k} AS MATERIALIZED (
     )
     parts.append("\n" + sel)
     return "".join(parts)
+
+
+def _heavy_hitters_sql(width: int, k: int) -> str:
+    """Count-Min heavy hitters (algos/sketches.py cms_heavy_hitters)
+    over the co-purchase dst stream: the d×w sketch, per-key MIN across
+    rows, rank — all integer arithmetic on the pinned affine chain."""
+    from combblas_spark.algos.sketches import CMS_CONSTS, P
+
+    bcols = ",\n         ".join(
+        f"(({a} * key + {b}) % {P}) % {width} AS b{r}"
+        for r, (a, b) in enumerate(CMS_CONSTS)
+    )
+    sks = ",\n".join(
+        f"sk{r} AS MATERIALIZED (SELECT b{r} AS bucket, count(*) AS c{r} "
+        f"FROM b GROUP BY b{r})"
+        for r in range(len(CMS_CONSTS))
+    )
+    joins = "\n  ".join(
+        f"JOIN sk{r} s{r} ON s{r}.bucket = cand.b{r}"
+        for r in range(len(CMS_CONSTS))
+    )
+    least = ", ".join(f"s{r}.c{r}" for r in range(len(CMS_CONSTS)))
+    return f"""
+WITH und AS MATERIALIZED (
+  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+),
+b AS MATERIALIZED (
+  SELECT key, {bcols}
+  FROM (SELECT dst AS key FROM und)
+),
+{sks},
+cand AS MATERIALIZED (SELECT DISTINCT * FROM b),
+est AS MATERIALIZED (
+  SELECT cand.key, least({least}) AS est
+  FROM cand
+  {joins}
+)
+SELECT key, est FROM (
+  SELECT key, est, row_number() OVER (ORDER BY est DESC, key ASC) AS rn
+  FROM est
+) WHERE rn <= {k}
+"""
+
+
+def _wsample_sql(k: int) -> str:
+    """Efraimidis-Spirakis weighted sample (algos/sketches.py
+    weighted_sample) of documents by n_chars: top-k u^(1/w) draw keys,
+    the uniform draw replayed from the pinned affine chain."""
+    from combblas_spark.algos.sketches import P, WS_A, WS_B
+
+    return f"""
+SELECT doc_id, w FROM (
+  SELECT doc_id, n_chars AS w,
+         pow((CAST(({WS_A} * doc_id + {WS_B}) % {P} AS DOUBLE) + 1.0)
+             / ({P} + 1.0), 1.0 / n_chars) AS draw
+  FROM documents
+) ORDER BY draw DESC, doc_id ASC LIMIT {k}
+"""
+
+
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min heavy-hitter gate (algos/sketches.py): top-10 hub
+    vertices of the co-purchase dst stream by CMS estimate — the
+    fixed-space hub detector the skew trigger wants at corpus scale."""
+    from combblas_spark.algos.sketches import cms_heavy_hitters
+
+    keys = _copurchase_graph(spark, sf_dir).edges.select(
+        F.col("dst").alias("key")
+    )
+    return cms_heavy_hitters(spark, keys, width=CMS_W, k=CMS_K)
+
+
+def q_wsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted-sampling gate (algos/sketches.py): 20 documents drawn
+    proportional to length without replacement (Efraimidis-Spirakis) —
+    the corpus-subsampling primitive."""
+    from combblas_spark.algos.sketches import weighted_sample
+
+    docs = _docs(spark, sf_dir).select("doc_id", F.col("n_chars").alias("w"))
+    return weighted_sample(spark, docs, k=WSAMPLE_K, key_col="doc_id")
 
 
 def _eff_diam_sql(h: int, q: float) -> str:
@@ -3810,6 +3895,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard_lp3": q_jaccard_links,
         "anf4": q_anf,
         "eff_diam": q_eff_diam,
+        "heavy10": q_heavy_hitters,
+        "wsample20": q_wsample,
         "neigh_sample": q_neigh_sample,
         "recip_assort": q_recip_assort,
         "harmonic4": q_harmonic,
@@ -3898,6 +3985,8 @@ def oracle_sql() -> dict[str, str]:
         "jaccard_lp3": _jaccard_links_sql(AA_K, AA_MAX_SRC),
         "anf4": _anf_sql(ANF_H),
         "eff_diam": _eff_diam_sql(ANF_H, 0.9),
+        "heavy10": _heavy_hitters_sql(CMS_W, CMS_K),
+        "wsample20": _wsample_sql(WSAMPLE_K),
         "neigh_sample": _neigh_sample_sql(NS_FANOUTS, NS_MAX_ROOT, NS_SEED),
         "recip_assort": RECIP_ASSORT_SQL,
         "harmonic4": _harmonic_sql(HARM_SOURCES, HARM_DEPTH),
